@@ -1,0 +1,12 @@
+from .cost_volume import (  # noqa: F401
+    correlation_volume,
+    build_gwc_volume,
+    build_concat_volume,
+    build_corr_volume,
+    build_diff_volume,
+    build_sub_volume,
+    groupwise_correlation,
+)
+from .disp_regression import disparity_regression  # noqa: F401
+from .upsample import context_upsample, unfold3x3, upsample_nearest, resize_bilinear  # noqa: F401
+from .sampler import bilinear_sampler, disp_warp  # noqa: F401

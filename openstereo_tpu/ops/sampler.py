@@ -1,0 +1,68 @@
+"""Bilinear sampling (gather) ops.
+
+TPU-native equivalents of `F.grid_sample`-based helpers:
+- `bilinear_sampler` (reference: stereo/modeling/disp_refinement/gru_blocks.py:152-167,
+  also models/igev/geometry.py) — sample features at fractional pixel
+  coordinates, zeros outside the frame.
+- `disp_warp` (reference: stereo/modeling/disp_refinement/disp_refinement.py:113-136)
+  — warp the right view to the left using a disparity map.
+
+Implemented as four clipped gathers + lerp. Gathers are the memory-bound core
+of the iterative (IGEV/RAFT-style) lookup loop; layout keeps C in the lane
+dimension so each gather moves full 128-lane vectors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_hw(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """img [B,H,W,C], integer yi/xi [B,...] → [B,...,C] (indices must be in-range)."""
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    idx = (yi * w + xi).reshape(b, -1, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(*yi.shape, c)
+
+
+def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample `img` [B,H,W,C] at `coords` [B,...,2] = (x, y) pixel coordinates.
+
+    Matches grid_sample(align_corners=True, padding_mode='zeros') driven with
+    unnormalised pixel coords as the reference's `bilinear_sampler` does:
+    out-of-frame samples contribute zero.
+    """
+    b, h, w, c = img.shape
+    x, y = coords[..., 0], coords[..., 1]
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    wx, wy = x - x0f, y - y0f
+    x0, y0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32)
+
+    out = jnp.zeros((*x.shape, c), dtype=img.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi, yi = x0 + dx, y0 + dy
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            wgt = jnp.where(dx, wx, 1.0 - wx) * jnp.where(dy, wy, 1.0 - wy)
+            wgt = jnp.where(valid, wgt, 0.0).astype(img.dtype)
+            tap = _gather_hw(img, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
+            out = out + tap * wgt[..., None]
+    return out
+
+
+def disp_warp(right: jnp.ndarray, disp: jnp.ndarray):
+    """Warp right view to the left camera: sample right at (x - disp, y).
+
+    right: [B,H,W,C]; disp: [B,H,W] (positive disparities).
+    Returns (warped [B,H,W,C], valid_mask [B,H,W,1]).
+    """
+    b, h, w, _ = right.shape
+    xs = jnp.arange(w, dtype=disp.dtype)[None, None, :]
+    ys = jnp.arange(h, dtype=disp.dtype)[None, :, None]
+    x_src = jnp.broadcast_to(xs, (b, h, w)) - disp
+    y_src = jnp.broadcast_to(ys, (b, h, w))
+    coords = jnp.stack([x_src, y_src], axis=-1)
+    warped = bilinear_sampler(right, coords)
+    valid = ((x_src >= 0) & (x_src <= w - 1)).astype(right.dtype)[..., None]
+    return warped * valid, valid

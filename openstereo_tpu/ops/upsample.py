@@ -1,0 +1,53 @@
+"""Upsampling / interpolation ops.
+
+`context_upsample` is the superpixel disparity upsampler
+(reference: stereo/modeling/disp_refinement/disp_refinement.py:194-204):
+each full-res pixel is a learned convex combination of the 3×3 low-res
+neighbourhood. The reference uses `F.unfold`; on TPU we build the 9
+neighbourhood taps as static pads+slices (fusable, no gather) and use
+`jnp.repeat` for the exact nearest ×scale upsample.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def unfold3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W] → [B, H, W, 9]: zero-padded 3×3 neighbourhood taps.
+
+    Tap order matches `F.unfold(kernel_size=3, padding=1)`: row-major over
+    (dy, dx) ∈ {-1,0,1}², i.e. tap k = (dy=k//3-1, dx=k%3-1).
+    """
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    h, w = x.shape[1], x.shape[2]
+    taps = [
+        padded[:, dy : dy + h, dx : dx + w]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    return jnp.stack(taps, axis=-1)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int, axes=(1, 2)) -> jnp.ndarray:
+    """Exact integer nearest-neighbour upsample via repeat."""
+    for ax in axes:
+        x = jnp.repeat(x, scale, axis=ax)
+    return x
+
+
+def context_upsample(disp_low: jnp.ndarray, up_weights: jnp.ndarray,
+                     scale_factor: int = 4) -> jnp.ndarray:
+    """Superpixel upsample: disp_low [B,h,w], up_weights [B,s*h,s*w,9] → [B,s*h,s*w]."""
+    taps = unfold3x3(disp_low)                       # [B,h,w,9]
+    taps = upsample_nearest(taps, scale_factor)      # [B,sh,sw,9]
+    return jnp.sum(taps * up_weights, axis=-1)
+
+
+def resize_bilinear(x: jnp.ndarray, new_hw, axes=(1, 2)) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers (= torch align_corners=False)."""
+    assert axes == (1, 2)
+    new_shape = list(x.shape)
+    new_shape[1], new_shape[2] = new_hw
+    return jax.image.resize(x, new_shape, method="bilinear")
