@@ -1,0 +1,24 @@
+"""Model zoo registry (reference: stereo/modeling/__init__.py:17-36).
+
+Every model is a flax.linen Module obeying the contract
+(reference docs/4.how_to_create_your_model.md):
+  __call__(data: dict, train: bool) -> {'disp_pred': [B,H,W], ...aux}
+  get_loss(pred, data) -> (scalar loss, info dict)
+"""
+
+from ..config import Config, get_valid_kwargs
+from ..registry import MODELS
+from .lightstereo import LightStereo  # noqa: F401
+
+
+def build_model(model_cfg: Config, dtype=None):
+    """Instantiate a model from a MODEL config section."""
+    cls = MODELS.get(model_cfg.NAME)
+    kwargs = get_valid_kwargs(cls.__init__, model_cfg)
+    # flax dataclass modules: kwargs are fields, not __init__ params
+    field_names = {f for f in getattr(cls, "__dataclass_fields__", {})}
+    kwargs = {k.lower(): v for k, v in model_cfg.items()
+              if k.lower() in field_names} if field_names else kwargs
+    if dtype is not None and "dtype" in field_names:
+        kwargs["dtype"] = dtype
+    return cls(**kwargs)

@@ -1,0 +1,165 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-native equivalents of the reference conv wrappers
+(reference: stereo/modeling/common/basic_block_2d.py:6-41, basic_block_3d.py:5-41)
+and the MobileNetV2 residual used by LightStereo/CoEx/MSNet aggregators
+(reference: stereo/modeling/models/lightstereo/aggregation.py:67-105).
+
+Conventions:
+- layouts NHWC (2D) / NDHWC (3D); channels ride the 128-lane dimension.
+- BatchNorm carries running stats in the 'batch_stats' collection. Under jit
+  with a batch sharded over the mesh 'data' axis, batch-stat reductions are
+  global, so cross-replica SyncBN (reference trainer_template.py:76-78) falls
+  out of the compilation model for free.
+- `dtype` is the compute dtype (bf16 for AMP-equivalent training); params stay
+  float32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def leaky_relu(negative_slope: float = 0.01) -> Callable:
+    return partial(nn.leaky_relu, negative_slope=negative_slope)
+
+
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+def _pair(v, n=2):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
+
+
+class ConvBlock(nn.Module):
+    """Conv + optional norm + optional activation (NHWC or NDHWC).
+
+    norm: None | 'batch' | 'instance' | 'group' | 'layer'.
+    Matches reference BasicConv2d/BasicConv3d semantics: bias off by default,
+    InstanceNorm is non-affine (torch nn.InstanceNorm2d default).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[str, int, Sequence[Tuple[int, int]]] = "SAME"
+    dilation: Union[int, Sequence[int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[Callable] = None
+    pad_mode: str = "zeros"  # 'zeros' | 'replicate' (reference padding_mode)
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ks = _pair(self.kernel_size, self.ndim)
+        st = _pair(self.strides, self.ndim)
+        dil = _pair(self.dilation, self.ndim)
+        padding = self.padding
+        if isinstance(padding, int):
+            padding = [(padding, padding)] * self.ndim
+
+        if self.pad_mode == "replicate" and padding not in ("VALID",):
+            # explicit edge-pad then VALID conv
+            if padding == "SAME":
+                pads = [((k - 1) // 2, k // 2) for k in ks]
+            else:
+                pads = list(padding)
+            x = jnp.pad(x, [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)], mode="edge")
+            padding = "VALID"
+
+        x = nn.Conv(
+            self.features, ks, strides=st, padding=padding,
+            kernel_dilation=dil, feature_group_count=self.groups,
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
+        )(x)
+        x = apply_norm(self, x, train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """Transposed conv + optional norm + act.
+
+    Reference BasicDeconv2d(k=4, s=2, p=1) and ConvTranspose(k=3, s=2, p=1,
+    output_padding=1) both double the spatial dims; flax ConvTranspose with
+    stride 2 and SAME padding reproduces that output shape.
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 4
+    strides: Union[int, Sequence[int]] = 2
+    use_bias: bool = False
+    norm: Optional[str] = None
+    act: Optional[Callable] = None
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ks = _pair(self.kernel_size, self.ndim)
+        st = _pair(self.strides, self.ndim)
+        x = nn.ConvTranspose(
+            self.features, ks, strides=st, padding="SAME",
+            use_bias=self.use_bias, dtype=self.dtype, name="deconv",
+        )(x)
+        x = apply_norm(self, x, train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def apply_norm(mod: nn.Module, x, train: bool):
+    """Shared norm dispatch for ConvBlock/DeconvBlock."""
+    if mod.norm is None:
+        return x
+    if mod.norm == "batch":
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=mod.dtype, name="bn",
+        )(x)
+    if mod.norm == "instance":
+        # torch nn.InstanceNorm2d default: non-affine, eps=1e-5
+        return nn.GroupNorm(
+            num_groups=None, group_size=1, epsilon=1e-5,
+            use_bias=False, use_scale=False, dtype=mod.dtype, name="in",
+        )(x)
+    if mod.norm == "layer":
+        return nn.LayerNorm(dtype=mod.dtype, name="ln")(x)
+    raise ValueError(f"unknown norm {mod.norm!r}")
+
+
+class MobileV2Residual(nn.Module):
+    """Inverted residual: pw-expand → dw 3×3 → pw-linear, all BN
+    (reference: lightstereo/aggregation.py:67-105)."""
+
+    features: int
+    strides: int = 1
+    expanse_ratio: int = 4
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        inp = x.shape[-1]
+        hidden = int(inp * self.expanse_ratio)
+        use_res = self.strides == 1 and inp == self.features
+
+        y = ConvBlock(hidden, 1, norm="batch", act=relu6, dtype=self.dtype,
+                      name="pw")(x, train=train)
+        y = ConvBlock(hidden, 3, strides=self.strides, dilation=self.dilation,
+                      groups=hidden, norm="batch", act=relu6, dtype=self.dtype,
+                      name="dw")(y, train=train)
+        y = ConvBlock(self.features, 1, norm="batch", dtype=self.dtype,
+                      name="pw_linear")(y, train=train)
+        return x + y if use_res else y

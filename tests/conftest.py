@@ -1,12 +1,25 @@
-"""Force tests onto CPU with 8 virtual devices (before jax is imported).
+"""Force tests onto CPU with 8 virtual devices.
 
 This is the fake-backend capability the reference lacks (SURVEY.md §4):
 multi-device sharding tests run on a virtual CPU mesh.
+
+Note: the environment may import jax at interpreter start (sitecustomize), so
+setting JAX_PLATFORMS via os.environ here is too late — we must go through
+jax.config before any backend is initialised.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Backend init is lazy, so XLA_FLAGS set here is still honoured.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+# XLA:CPU compiles can be slow on small hosts — persist them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
