@@ -1,0 +1,114 @@
+"""Data pipeline: readers, transforms, loader on a synthetic on-disk dataset."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openstereo_tpu.config import Config
+from openstereo_tpu.data import StereoDataLoader, readers
+from openstereo_tpu.data.transforms import build_transforms
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    """Tiny SceneFlow-style tree: PNG pairs + PFM disparities + split file."""
+    root = tmp_path_factory.mktemp("synth_sf")
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(6):
+        for sub in ("left", "right"):
+            (root / sub).mkdir(exist_ok=True)
+            img = rng.randint(0, 255, (64, 96, 3), np.uint8)
+            Image.fromarray(img).save(root / sub / f"{i:04d}.png")
+        disp = rng.rand(64, 96).astype(np.float32) * 32
+        # write PFM (little-endian, bottom-up)
+        with open(root / "left" / f"{i:04d}.pfm", "wb") as f:
+            f.write(b"Pf\n96 64\n-1.0\n")
+            np.flipud(disp).astype("<f4").tofile(f)
+        lines.append(f"left/{i:04d}.png right/{i:04d}.png left/{i:04d}.pfm")
+    split = root / "split.txt"
+    split.write_text("\n".join(lines))
+    return root, split
+
+
+def _data_cfg(root, split, train_size=(32, 64)):
+    return Config.from_dict({
+        "DATA_INFOS": [{
+            "DATASET": "SceneFlowDataset",
+            "DATA_SPLIT": {"TRAINING": str(split), "EVALUATING": str(split)},
+            "DATA_PATH": str(root),
+            "RETURN_RIGHT_DISP": False,
+        }],
+        "DATA_TRANSFORM": {
+            "TRAINING": [
+                {"NAME": "RandomCrop", "SIZE": list(train_size), "Y_JITTER": False},
+                {"NAME": "TransposeImage"},
+                {"NAME": "ToTensor"},
+                {"NAME": "NormalizeImage", "MEAN": [0.485, 0.456, 0.406], "STD": [0.229, 0.224, 0.225]},
+            ],
+            "EVALUATING": [
+                {"NAME": "RightTopPad", "SIZE": [64, 96]},
+                {"NAME": "TransposeImage"},
+                {"NAME": "ToTensor"},
+                {"NAME": "NormalizeImage", "MEAN": [0.485, 0.456, 0.406], "STD": [0.229, 0.224, 0.225]},
+            ],
+        },
+    })
+
+
+def test_pfm_roundtrip(synth_root):
+    root, split = synth_root
+    disp = readers.read_disp_pfm(str(root / "left" / "0000.pfm"))
+    assert disp.shape == (64, 96) and disp.dtype == np.float32
+    assert disp.max() <= 32.0
+
+
+def test_train_loader_shapes_and_determinism(synth_root):
+    root, split = synth_root
+    cfg = _data_cfg(root, split)
+    loader = StereoDataLoader(cfg, batch_size=2, mode="training", seed=7, num_workers=1)
+    b1 = list(loader.epoch(0))
+    b2 = list(loader.epoch(0))
+    assert len(b1) == 3
+    assert b1[0]["left"].shape == (2, 32, 64, 3)
+    assert b1[0]["disp"].shape == (2, 32, 64)
+    np.testing.assert_array_equal(b1[0]["left"], b2[0]["left"])  # deterministic
+    # different epoch → different shuffle/crops
+    b3 = list(loader.epoch(1))
+    assert not np.array_equal(b1[0]["left"], b3[0]["left"])
+
+
+def test_eval_loader_pads_to_static_shape(synth_root):
+    root, split = synth_root
+    cfg = _data_cfg(root, split)
+    loader = StereoDataLoader(cfg, batch_size=4, mode="evaluating", seed=0, num_workers=2)
+    batches = list(loader.epoch(0))
+    # 6 samples pad-wrapped to 8 = two batches of 4, dedup downstream by index
+    assert len(batches) == 2
+    assert batches[0]["left"].shape == (4, 64, 96, 3)
+    all_idx = np.concatenate([b["index"] for b in batches])
+    assert set(all_idx.astype(int).tolist()) == set(range(6))
+
+
+def test_process_sharding_covers_all(synth_root):
+    root, split = synth_root
+    cfg = _data_cfg(root, split)
+    seen = []
+    for pi in range(2):
+        loader = StereoDataLoader(cfg, batch_size=2, mode="evaluating", seed=0,
+                                  process_index=pi, process_count=2, num_workers=1)
+        for b in loader.epoch(0):
+            seen.extend(b["index"].astype(int).tolist())
+    assert set(seen) == set(range(6))
+
+
+def test_divisible_pad_records_pad():
+    tf = build_transforms([{"NAME": "DivisiblePad", "BY": 32}])
+    s = {"left": np.zeros((50, 70, 3), np.float32),
+         "right": np.zeros((50, 70, 3), np.float32),
+         "disp": np.ones((50, 70), np.float32)}
+    out = tf(s)
+    assert out["left"].shape == (64, 96, 3)
+    np.testing.assert_array_equal(out["pad"], [14, 26, 0, 0])
+    # disp zero-padded at top
+    assert out["disp"][:14].sum() == 0
