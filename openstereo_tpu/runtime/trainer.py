@@ -1,0 +1,304 @@
+"""Trainer runtime — the TPU-native counterpart of the reference's
+TrainerTemplate (reference: stereo/modeling/trainer_template.py:20-330).
+
+Design deltas from the reference, driven by the XLA compilation model:
+
+- ONE jitted `train_step(state, batch) -> (state, metrics)` replaces the
+  autocast/GradScaler/backward/unscale/clip/step/scheduler sequence
+  (trainer_template.py:199-220): bf16 compute needs no loss scaling, the clip
+  and schedule live inside the optax chain, and the DDP gradient all-reduce is
+  inserted by XLA because the batch is sharded over the mesh 'data' axis while
+  params are replicated.
+- SyncBN (trainer_template.py:76-78) is implicit: BN batch statistics are
+  global-batch reductions under jit.
+- Distributed eval keeps the reference's exact semantics
+  (trainer_template.py:300-317): per-image metrics + dataset indices are
+  gathered across processes and deduplicated by index to undo sampler padding.
+- Checkpoints are orbax-managed pytrees {params, batch_stats, opt_state, step}
+  with the reference's rotation window (MAX_CKPT_SAVE_NUM) and epoch-granular
+  resume (trainer_template.py:111-122,169-180).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax  # noqa: F401  (re-exported dependency of train_state)
+
+from ..config import Config
+from ..data import StereoDataLoader
+from ..evaluation import compute_metrics
+from ..models import build_model
+from ..models.losses import disp_valid_mask
+from ..parallel import make_mesh, shard_batch, replicate
+from ..utils import create_logger
+from .optim import build_optimizer
+from .train_state import TrainState
+
+
+def input_hw(data_cfg: Config, mode: str):
+    """Static input shape from the transform pipeline's SIZE (crop or pad)."""
+    for t in data_cfg.DATA_TRANSFORM[mode.upper()]:
+        if "SIZE" in t:
+            return tuple(int(x) for x in t["SIZE"])
+    raise ValueError(f"no SIZE-bearing transform for mode {mode}")
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        run_dir: str,
+        run_mode: str = "train",
+        mesh=None,
+        seed: int = 3407,
+        num_workers: int = 2,
+        logger=None,
+    ):
+        self.cfg = cfg
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.logger = logger or create_logger(
+            os.path.join(run_dir, "log.txt"), process_index=self.process_index)
+        self.seed = seed
+
+        opt = cfg.OPTIMIZATION
+        self.use_bf16 = bool(opt.get("AMP", False))
+        dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
+        self.model = build_model(cfg.MODEL, dtype=dtype)
+        self.max_disp = cfg.EVALUATOR.get("MAX_DISP", cfg.MODEL.get("MAX_DISP", 192))
+        self.metric_names = tuple(cfg.EVALUATOR.get("METRIC", ["epe", "d1_all"]))
+
+        # loaders
+        global_bs = int(opt.BATCH_SIZE_PER_GPU) * self.mesh.shape["data"]
+        eval_bs = int(cfg.EVALUATOR.get("BATCH_SIZE_PER_GPU", opt.BATCH_SIZE_PER_GPU)) \
+            * self.mesh.shape["data"]
+        self.train_loader = None
+        if run_mode == "train":
+            self.train_loader = StereoDataLoader(
+                cfg.DATA_CONFIG, global_bs, mode="training", seed=seed,
+                process_index=self.process_index, process_count=self.process_count,
+                num_workers=num_workers)
+        self.eval_loader = StereoDataLoader(
+            cfg.DATA_CONFIG, eval_bs, mode="evaluating", seed=seed,
+            process_index=self.process_index, process_count=self.process_count,
+            num_workers=num_workers)
+
+        self.num_epochs = int(opt.NUM_EPOCHS)
+        steps_per_epoch = self.train_loader.steps_per_epoch if self.train_loader else 1
+        total_steps = max(1, self.num_epochs * steps_per_epoch)
+        self.tx, self.lr_schedule = build_optimizer(opt, total_steps)
+
+        self.state = self._init_state()
+        self.start_epoch = 0
+
+        # checkpointing
+        import orbax.checkpoint as ocp
+
+        self.ckpt_dir = os.path.join(os.path.abspath(run_dir), "ckpt")
+        self.ckpt_mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=int(cfg.get("TRAINER", {}).get("MAX_CKPT_SAVE_NUM", 30)),
+                create=True,
+            ),
+        )
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.metrics_file = os.path.join(run_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------- state init
+    def _dummy_batch(self, mode: str) -> Dict[str, jnp.ndarray]:
+        h, w = input_hw(self.cfg.DATA_CONFIG, mode)
+        return {
+            "left": jnp.zeros((1, h, w, 3), jnp.float32),
+            "right": jnp.zeros((1, h, w, 3), jnp.float32),
+            "disp": jnp.zeros((1, h, w), jnp.float32),
+        }
+
+    def _init_state(self) -> TrainState:
+        rng = jax.random.key(self.seed)
+        mode = "training" if self.train_loader else "evaluating"
+        variables = jax.jit(
+            lambda r, b: self.model.init(r, b, train=False)
+        )(rng, self._dummy_batch(mode))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.logger.info(f"model {self.cfg.MODEL.NAME}: {n_params/1e6:.2f}M params")
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=params, batch_stats=batch_stats,
+            tx=self.tx)
+        return replicate(state, self.mesh)
+
+    # ------------------------------------------------------------- steps
+    def _build_train_step(self):
+        model = self.model
+
+        def train_step(state: TrainState, batch):
+            def loss_fn(params):
+                out, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch, train=True, mutable=["batch_stats"])
+                loss, info = model.get_loss(out, batch)
+                return loss, (info, mutated["batch_stats"])
+
+            (loss, (info, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads, new_bs)
+            metrics = {"loss": loss, **info}
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        metric_names = self.metric_names
+        max_disp = float(self.max_disp)
+
+        def eval_step(state: TrainState, batch):
+            out = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch, train=False)
+            disp_pred = out["disp_pred"]
+            gt = batch["disp"]
+            mask = disp_valid_mask(gt, max_disp)
+            if "occ_mask" in batch:  # reference trainer_template.py:276-278
+                mask = mask & (batch["occ_mask"] < 0.5)
+            return compute_metrics(disp_pred, gt, mask, metric_names)
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------- loops
+    def train_one_epoch(self, epoch: int):
+        assert self.train_loader is not None
+        t_data = t_step = 0.0
+        n = 0
+        log_int = int(self.cfg.get("TRAINER", {}).get("LOGGER_ITER_INTERVAL", 10))
+        last_metrics = {}
+        t0 = time.perf_counter()
+        for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            batch = shard_batch(batch, self.mesh)
+            t1 = time.perf_counter()
+            self.state, metrics = self._train_step(self.state, batch)
+            if i % log_int == 0:
+                metrics = jax.device_get(metrics)
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                t2 = time.perf_counter()
+                step = int(jax.device_get(self.state.step))
+                lr = float(self.lr_schedule(step))
+                self.logger.info(
+                    f"epoch {epoch} iter {i}/{self.train_loader.steps_per_epoch} "
+                    f"loss {last_metrics.get('loss', 0):.4f} lr {lr:.2e} "
+                    f"data {1e3*(t1-t0):.0f}ms step {1e3*(t2-t1):.0f}ms")
+                self._log_jsonl({"phase": "train", "epoch": epoch, "iter": i,
+                                 "lr": lr, **last_metrics})
+            t_data += t1 - t0
+            n += 1
+            t0 = time.perf_counter()
+            t_step += t0 - t1
+        return last_metrics
+
+    def evaluate(self, epoch: int) -> Dict[str, float]:
+        indices, values = [], {m: [] for m in self.metric_names}
+        for batch in self.eval_loader.epoch(0):
+            idx = np.asarray(batch["index"])
+            metrics = self._eval_step(self.state, shard_batch(batch, self.mesh))
+            metrics = jax.device_get(metrics)
+            indices.append(idx)
+            for m in self.metric_names:
+                values[m].append(np.asarray(metrics[m]))
+        if not indices:
+            return {}
+        idx = np.concatenate(indices)
+        vals = {m: np.concatenate(v) for m, v in values.items()}
+        if self.process_count > 1:  # cross-host gather (trainer_template.py:300-310)
+            from jax.experimental import multihost_utils
+
+            idx = np.asarray(multihost_utils.process_allgather(idx)).reshape(-1)
+            vals = {m: np.asarray(multihost_utils.process_allgather(v)).reshape(-1)
+                    for m, v in vals.items()}
+        # dedup padded duplicates by dataset index (trainer_template.py:311-317)
+        _, keep = np.unique(idx, return_index=True)
+        results = {m: float(v[keep].mean()) for m, v in vals.items()}
+        self.logger.info(f"eval epoch {epoch}: " +
+                         " ".join(f"{m} {v:.4f}" for m, v in results.items()))
+        self._log_jsonl({"phase": "eval", "epoch": epoch, **results})
+        return results
+
+    def train(self):
+        ckpt_int = int(self.cfg.get("TRAINER", {}).get("CKPT_SAVE_INTERVAL", 1))
+        eval_int = int(self.cfg.get("TRAINER", {}).get("EVAL_INTERVAL", 1))
+        for epoch in range(self.start_epoch, self.num_epochs):
+            self.train_one_epoch(epoch)
+            if (epoch + 1) % ckpt_int == 0:
+                self.save_ckpt(epoch)
+            if (epoch + 1) % eval_int == 0:
+                self.evaluate(epoch)
+        self.ckpt_mgr.wait_until_finished()
+
+    # ------------------------------------------------------------- ckpt
+    def save_ckpt(self, epoch: int):
+        import orbax.checkpoint as ocp
+
+        payload = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        self.ckpt_mgr.save(epoch, args=ocp.args.StandardSave(payload))
+
+    def resume_ckpt(self, epoch: Optional[int] = None) -> int:
+        import orbax.checkpoint as ocp
+
+        epoch = self.ckpt_mgr.latest_step() if epoch is None else epoch
+        if epoch is None:
+            return 0
+        target = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = self.ckpt_mgr.restore(
+            epoch, args=ocp.args.StandardRestore(target))
+        self.state = self.state.replace(**restored)
+        self.start_epoch = epoch + 1
+        self.logger.info(f"resumed from epoch {epoch}")
+        return self.start_epoch
+
+    def load_pretrained(self, params) -> None:
+        """Shape-checked partial load (reference common_utils.py:142-180)."""
+        flat_new = jax.tree_util.tree_flatten_with_path(params)[0]
+        cur, treedef = jax.tree_util.tree_flatten_with_path(self.state.params)
+        cur_map = {jax.tree_util.keystr(k): v for k, v in cur}
+        loaded, skipped = 0, 0
+        for key, val in flat_new:
+            ks = jax.tree_util.keystr(key)
+            if ks in cur_map and cur_map[ks].shape == val.shape:
+                cur_map[ks] = val
+                loaded += 1
+            else:
+                skipped += 1
+        new_leaves = [cur_map[jax.tree_util.keystr(k)] for k, _ in cur]
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.state.params), new_leaves))
+        self.logger.info(f"pretrained load: {loaded} tensors, {skipped} skipped")
+
+    # ------------------------------------------------------------- misc
+    def _log_jsonl(self, record: Dict):
+        if self.process_index != 0:
+            return
+        with open(self.metrics_file, "a") as f:
+            f.write(json.dumps(record) + "\n")
