@@ -1,0 +1,73 @@
+"""Benchmark: LightStereo-S inference throughput on one TPU chip.
+
+Mirrors the reference latency benchmark protocol
+(reference: tools/measure.py:32-89 — input [1,3,544,960], 10 warm-up, 100
+timed reps) on the flagship model, jitted in bf16, NHWC [1,544,960,3].
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference repo publishes no frames/s numbers (BASELINE.md), so
+vs_baseline is the speedup vs. the first recorded TPU run of this framework
+(rounds >1), or null on the first run.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+H, W = 544, 960
+
+
+def main():
+    from openstereo_tpu.models.lightstereo import LightStereo
+
+    model = LightStereo(max_disp=192, aggregation_blocks=(1, 2, 4),
+                        expanse_ratio=4, left_att=True, dtype=jnp.bfloat16)
+    data = {
+        "left": jnp.zeros((1, H, W, 3), jnp.float32),
+        "right": jnp.zeros((1, H, W, 3), jnp.float32),
+    }
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=False))(data)
+
+    @jax.jit
+    def forward(batch):
+        return model.apply(variables, batch, train=False)["disp_pred"]
+
+    # warm-up (incl. compile)
+    for _ in range(10):
+        out = forward(data)
+    jax.block_until_ready(out)
+
+    reps = 100
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = forward(data)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    fps = 1.0 / dt
+
+    vs = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            with open(BASELINE_FILE) as f:
+                base = json.load(f)["value"]
+            vs = fps / base
+        except Exception:
+            vs = None
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "lightstereo_s_fps_544x960_b1", "value": fps}, f)
+
+    print(json.dumps({
+        "metric": "lightstereo_s_fps_544x960_b1",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
