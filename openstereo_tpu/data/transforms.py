@@ -240,18 +240,26 @@ class StereoColorJitter:
     """
 
     def __init__(self, config):
-        self.brightness = config.BRIGHTNESS
-        self.contrast = config.CONTRAST
-        self.saturation = config.SATURATION
-        self.hue = config.HUE / 3.14  # reference divides by pi
+        # torchvision semantics: scalar v → (max(0,1-v), 1+v); [lo,hi] → as-is
+        self.brightness = self._range(config.BRIGHTNESS)
+        self.contrast = self._range(config.CONTRAST)
+        self.saturation = self._range(config.SATURATION)
+        hue = config.HUE / 3.14  # reference divides by pi
+        self.hue = (-hue, hue) if np.isscalar(hue) else tuple(hue)
         self.asymmetric_prob = config.ASYMMETRIC_PROB
+
+    @staticmethod
+    def _range(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(v)
+        return (max(0.0, 1.0 - v), 1.0 + v)
 
     def _jitter(self, img, rng: np.random.Generator):
         ops = [
-            lambda im: _adjust_brightness(im, rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)),
-            lambda im: _adjust_contrast(im, rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)),
-            lambda im: _adjust_saturation(im, rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)),
-            lambda im: _adjust_hue(im, rng.uniform(-self.hue, self.hue)),
+            lambda im: _adjust_brightness(im, rng.uniform(*self.brightness)),
+            lambda im: _adjust_contrast(im, rng.uniform(*self.contrast)),
+            lambda im: _adjust_saturation(im, rng.uniform(*self.saturation)),
+            lambda im: _adjust_hue(im, rng.uniform(*self.hue)),
         ]
         for i in rng.permutation(4):
             img = ops[i](img)

@@ -1,0 +1,65 @@
+"""Training CLI (reference: tools/train.py).
+
+Single-host single/multi-chip by default; multi-host via
+`jax.distributed.initialize()` (replaces torchrun/NCCL rendezvous —
+set JAX_COORDINATOR_ADDRESS etc. or run under a TPU pod runtime).
+
+Usage:
+    python tools/train.py --cfg_file cfgs/lightstereo/lightstereo_s_sceneflow.yaml \
+        [--extra_tag tag] [--ckpt -1] [--model_par 1]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_file", required=True)
+    p.add_argument("--extra_tag", default="default")
+    p.add_argument("--save_root", default="output")
+    p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--ckpt", type=int, default=None,
+                   help="resume epoch; latest if omitted and ckpts exist")
+    p.add_argument("--model_par", type=int, default=1,
+                   help="mesh size along the 'model' (disparity) axis")
+    p.add_argument("--dist", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
+    return p.parse_args()
+
+
+def run_dir_for(args, cfg):
+    """save_root/<Dataset>/<Model>/<cfg_name>/<tag> (reference train.py:75-86)."""
+    ds = cfg.DATA_CONFIG.DATA_INFOS[0].DATASET.replace("Dataset", "")
+    cfg_name = os.path.splitext(os.path.basename(args.cfg_file))[0]
+    return os.path.join(args.save_root, ds, cfg.MODEL.NAME, cfg_name, args.extra_tag)
+
+
+def main():
+    args = parse_args()
+    if args.dist:
+        jax.distributed.initialize()
+
+    from openstereo_tpu.config import load_config
+    from openstereo_tpu.parallel import make_mesh
+    from openstereo_tpu.runtime import Trainer
+    from openstereo_tpu.utils import set_random_seed
+
+    cfg = load_config(args.cfg_file)
+    set_random_seed(args.seed + jax.process_index())
+    mesh = make_mesh(model=args.model_par)
+    trainer = Trainer(cfg, run_dir_for(args, cfg), run_mode="train", mesh=mesh,
+                      seed=args.seed, num_workers=args.workers)
+    if args.ckpt is None or args.ckpt >= 0:
+        trainer.resume_ckpt(args.ckpt)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
