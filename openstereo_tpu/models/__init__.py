@@ -9,6 +9,8 @@ Every model is a flax.linen Module obeying the contract
 from ..config import Config, get_valid_kwargs
 from ..registry import MODELS
 from .lightstereo import LightStereo  # noqa: F401
+from .psmnet import PSMNet  # noqa: F401
+from .gwcnet import GwcNet  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -8,5 +8,11 @@ from .cost_volume import (  # noqa: F401
     groupwise_correlation,
 )
 from .disp_regression import disparity_regression  # noqa: F401
-from .upsample import context_upsample, unfold3x3, upsample_nearest, resize_bilinear  # noqa: F401
+from .upsample import (  # noqa: F401
+    context_upsample,
+    unfold3x3,
+    upsample_nearest,
+    resize_bilinear,
+    resize_linear_align_corners,
+)
 from .sampler import bilinear_sampler, disp_warp  # noqa: F401

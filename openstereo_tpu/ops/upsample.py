@@ -51,3 +51,36 @@ def resize_bilinear(x: jnp.ndarray, new_hw, axes=(1, 2)) -> jnp.ndarray:
     new_shape = list(x.shape)
     new_shape[1], new_shape[2] = new_hw
     return jax.image.resize(x, new_shape, method="bilinear")
+
+
+def _interp_matrix_ac(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n_out, n_in] linear-interpolation matrix with align_corners=True
+    (torch F.interpolate(..., align_corners=True) semantics)."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    frac = pos - lo.astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    mat = jnp.zeros((n_out, n_in), dtype)
+    mat = mat.at[rows, lo].set((1.0 - frac).astype(dtype))
+    mat = mat.at[rows, lo + 1].add(frac.astype(dtype))
+    return mat
+
+
+def resize_linear_align_corners(x: jnp.ndarray, sizes, axes) -> jnp.ndarray:
+    """N-linear resize with align_corners=True along `axes`.
+
+    Implemented as per-axis matmuls with small two-banded interpolation
+    matrices (MXU-friendly contraction, exact torch `align_corners=True`
+    semantics, which jax.image.resize does not offer). Used for PSMNet's
+    trilinear cost upsampling (reference psmnet_cost_processor.py:201-219) and
+    the backbone SPP branches (align_corners=True bilinear).
+    """
+    for ax, n_out in zip(axes, sizes):
+        n_in = x.shape[ax]
+        if n_in == n_out:
+            continue
+        mat = _interp_matrix_ac(n_in, n_out, x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(mat, x, axes=(1, ax)), 0, ax)
+    return x

@@ -129,8 +129,11 @@ class Trainer:
     def _init_state(self) -> TrainState:
         rng = jax.random.key(self.seed)
         mode = "training" if self.train_loader else "evaluating"
+        # init with train=True so parameters used only by training-time heads
+        # (e.g. GwcNet's classif0-2) are created too
+        is_train = self.train_loader is not None
         variables = jax.jit(
-            lambda r, b: self.model.init(r, b, train=False)
+            lambda r, b: self.model.init(r, b, train=is_train)
         )(rng, self._dummy_batch(mode))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

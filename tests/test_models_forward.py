@@ -1,0 +1,81 @@
+"""Forward/loss/grad smoke tests for the model zoo on tiny shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _data(b=1, h=32, w=64):
+    rng = np.random.RandomState(0)
+    return {
+        "left": jnp.asarray(rng.randn(b, h, w, 3), jnp.float32),
+        "right": jnp.asarray(rng.randn(b, h, w, 3), jnp.float32),
+        "disp": jnp.asarray(rng.rand(b, h, w) * 12 + 1, jnp.float32),
+    }
+
+
+def _check_model(model, data, aux_key=None, n_aux=None):
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out, _ = model.apply(variables, data, train=True, mutable=["batch_stats"])
+    h, w = data["left"].shape[1:3]
+    assert out["disp_pred"].shape == (data["left"].shape[0], h, w)
+    if aux_key:
+        assert len(out[aux_key]) == n_aux
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+
+    # eval path
+    ev = model.apply(variables, data, train=False)
+    assert ev["disp_pred"].shape == (data["left"].shape[0], h, w)
+
+    # gradability
+    def loss_fn(params):
+        o, _ = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                           data, train=True, mutable=["batch_stats"])
+        return model.get_loss(o, data)[0]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = sum(float(jnp.sum(g.astype(jnp.float32) ** 2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    return variables
+
+
+def test_psmnet_forward():
+    from openstereo_tpu.models.psmnet import PSMNet
+
+    model = PSMNet(max_disp=16)
+    _check_model(model, _data(), aux_key="train_preds", n_aux=3)
+
+
+def test_gwcnet_forward():
+    from openstereo_tpu.models.gwcnet import GwcNet
+
+    model = GwcNet(max_disp=16, num_groups=40, use_concat_volume=True)
+    _check_model(model, _data(), aux_key="disp_preds", n_aux=4)
+
+
+def test_gwcnet_gc_only():
+    from openstereo_tpu.models.gwcnet import GwcNet
+
+    model = GwcNet(max_disp=16, num_groups=40, use_concat_volume=False)
+    data = _data()
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out = model.apply(variables, data, train=False)
+    assert out["disp_pred"].shape == data["disp"].shape
+
+
+def test_resize_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from openstereo_tpu.ops import resize_linear_align_corners
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4, 6, 8, 3).astype(np.float32)  # [B,D,H,W,C]
+    got = np.asarray(resize_linear_align_corners(jnp.asarray(x), (8, 12, 16), axes=(1, 2, 3)))
+    tx = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # NCDHW
+    exp = F.interpolate(tx, (8, 12, 16), mode="trilinear", align_corners=True)
+    exp = exp.numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
