@@ -66,6 +66,14 @@ def test_gwcnet_gc_only():
     assert out["disp_pred"].shape == data["disp"].shape
 
 
+def test_igev_forward():
+    from openstereo_tpu.models.igev import IGEV
+
+    # max_disp=32 → D/4=8, the smallest that survives the 3-level D-halving
+    model = IGEV(max_disp=32, train_iters=2, valid_iters=3)
+    _check_model(model, _data(b=1, h=64, w=128), aux_key="disp_preds", n_aux=2)
+
+
 def test_resize_align_corners_matches_torch():
     import torch
     import torch.nn.functional as F
