@@ -12,6 +12,7 @@ from .lightstereo import LightStereo  # noqa: F401
 from .psmnet import PSMNet  # noqa: F401
 from .gwcnet import GwcNet  # noqa: F401
 from .igev import IGEV  # noqa: F401
+from .sttr import STTR  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -1,0 +1,176 @@
+"""STTR epipolar transformer: alternating self/cross attention with relative
+sine positional encoding (reference: stereo/modeling/models/sttr/utilities/
+{transformer.py,attention.py,pos_encoder.py}).
+
+TPU-native design notes:
+- sequences live as [B', W, C] with B' = N·H (every epipolar line is a batch
+  element) — attention over W is a batched MXU einsum;
+- relative position attention uses the einsum decomposition of the reference
+  (attention.py:99-108): attn = q·kᵀ + q·k_rᵀ + k·q_rᵀ, where q_r/k_r are
+  projections of the [W, W, C] relative-encoding matrix (gathered once from
+  the 2W-1 sine table);
+- layers are wrapped in `nn.remat` mirroring the reference's gradient
+  checkpointing (transformer.py:60-79).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def sine_pos_encoding(w: int, channels: int, scale: float = 1.0) -> jnp.ndarray:
+    """Relative 1D sine table [2W-1, C] (reference pos_encoder.py:29-60).
+
+    Distances run from (w-1)·scale down to (1-w)·scale; sin/cos interleaved.
+    """
+    x_embed = np.linspace((w - 1) * scale, -(w - 1) * scale, 2 * w - 1, dtype=np.float32)
+    dim_t = np.arange(channels, dtype=np.float32)
+    dim_t = 10000.0 ** (2 * (dim_t // 2) / channels)
+    pos = x_embed[:, None] / dim_t[None, :]
+    out = np.empty_like(pos)
+    out[:, 0::2] = np.sin(pos[:, 0::2])
+    out[:, 1::2] = np.cos(pos[:, 1::2])
+    return jnp.asarray(out)
+
+
+def rel_pos_matrix(pos_table: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Gather the [W, W, C] relative-position matrix: entry (i, j) encodes
+    distance i-j (reference transformer.py:100-104 index arithmetic)."""
+    i = np.arange(w)[:, None]
+    j = np.arange(w)[None, :]
+    idx = (w - 1 - i) + j  # row w-1..0 + col 0..w-1
+    return pos_table[idx.reshape(-1)].reshape(w, w, -1)
+
+
+class MultiheadAttentionRelative(nn.Module):
+    """Multi-head attention with relative-position terms
+    (reference attention.py:10-139). Inputs [B, W, C]."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, pos_matrix=None, attn_mask=None):
+        e, nh = self.embed_dim, self.num_heads
+        hd = e // nh
+        q_proj = nn.Dense(e, dtype=self.dtype, name="q_proj")
+        k_proj = nn.Dense(e, dtype=self.dtype, name="k_proj")
+        v_proj = nn.Dense(e, dtype=self.dtype, name="v_proj")
+        q = q_proj(query)
+        k = k_proj(key)
+        v = v_proj(value)
+
+        b, w, _ = q.shape
+        wk = k.shape[1]
+        scaling = hd ** -0.5
+        q = (q * scaling).reshape(b, w, nh, hd)
+        k = k.reshape(b, wk, nh, hd)
+        v = v.reshape(b, wk, nh, hd)
+
+        attn = jnp.einsum("bwhc,bvhc->bhwv", q, k)
+        if pos_matrix is not None:
+            # q_r/k_r share the q/k projections applied to the pos matrix
+            # (reference attention.py:66-78)
+            q_r = (q_proj(pos_matrix) * scaling).reshape(w, wk, nh, hd)
+            k_r = k_proj(pos_matrix).reshape(w, wk, nh, hd)
+            attn = attn + jnp.einsum("bwhc,wvhc->bhwv", q, k_r)
+            attn = attn + jnp.einsum("bvhc,wvhc->bhwv", k, q_r)
+
+        if attn_mask is not None:
+            attn = attn + attn_mask[None, None]
+
+        raw_attn = jnp.sum(attn, axis=1)  # [B,W,Wk] summed over heads
+        p = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhwv,bvhc->bwhc", p, v).reshape(b, w, e)
+        out = nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+        return out, raw_attn
+
+
+class SelfAttnLayer(nn.Module):
+    hidden_dim: int
+    nhead: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, pos_matrix):
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(feat)
+        y, _ = MultiheadAttentionRelative(self.hidden_dim, self.nhead,
+                                          dtype=self.dtype, name="self_attn")(
+            y, y, y, pos_matrix=pos_matrix)
+        return feat + y
+
+
+class CrossAttnLayer(nn.Module):
+    """Right attends left, then left attends (updated) right
+    (reference transformer.py:152-216)."""
+
+    hidden_dim: int
+    nhead: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_left, feat_right, pos_matrix, pos_matrix_flipped,
+                 last_layer: bool):
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        attn = MultiheadAttentionRelative(self.hidden_dim, self.nhead,
+                                          dtype=self.dtype, name="cross_attn")
+        left2 = norm1(feat_left)
+        right2 = norm1(feat_right)
+
+        upd_right, _ = attn(right2, left2, left2, pos_matrix=pos_matrix_flipped)
+        feat_right = feat_right + upd_right
+
+        if last_layer:
+            w = feat_left.shape[1]
+            mask = jnp.triu(jnp.full((w, w), -jnp.inf, jnp.float32), k=1)
+        else:
+            mask = None
+        right2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(feat_right)
+        upd_left, raw_attn = attn(left2, right2, right2, pos_matrix=pos_matrix,
+                                  attn_mask=mask)
+        feat_left = feat_left + upd_left
+        return feat_left, feat_right, raw_attn
+
+
+class Transformer(nn.Module):
+    """Alternating self/cross stack → attention volume [N,H,W,W]
+    (reference transformer.py:17-113)."""
+
+    hidden_dim: int = 128
+    nhead: int = 8
+    num_attn_layers: int = 6
+    remat: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_left, feat_right, pos_scale: float = 1.0):
+        """feat_left/right: [N, H, W, C] (already downsampled) → [N,H,W,W]."""
+        n, h, w, c = feat_left.shape
+        fl = feat_left.reshape(n * h, w, c)
+        fr = feat_right.reshape(n * h, w, c)
+
+        pos_table = sine_pos_encoding(w, c, pos_scale).astype(self.dtype)
+        pos_m = rel_pos_matrix(pos_table, w)
+        pos_m_flipped = rel_pos_matrix(pos_table[::-1], w)
+
+        SelfL = nn.remat(SelfAttnLayer) if self.remat else SelfAttnLayer
+        CrossL = nn.remat(CrossAttnLayer, static_argnums=(5,)) if self.remat \
+            else CrossAttnLayer
+
+        raw_attn = None
+        for i in range(self.num_attn_layers):
+            # self-attention runs on left and right concatenated along batch
+            feat = jnp.concatenate([fl, fr], axis=0)
+            feat = SelfL(self.hidden_dim, self.nhead, dtype=self.dtype,
+                         name=f"self_{i}")(feat, pos_m)
+            fl, fr = feat[: n * h], feat[n * h :]
+            fl, fr, raw_attn = CrossL(self.hidden_dim, self.nhead, dtype=self.dtype,
+                                      name=f"cross_{i}")(
+                fl, fr, pos_m, pos_m_flipped, i == self.num_attn_layers - 1)
+
+        return raw_attn.reshape(n, h, w, w)

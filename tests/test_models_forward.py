@@ -74,6 +74,52 @@ def test_igev_forward():
     _check_model(model, _data(b=1, h=64, w=128), aux_key="disp_preds", n_aux=2)
 
 
+def test_sttr_forward_and_grad():
+    from openstereo_tpu.models.sttr import STTR
+
+    model = STTR(max_disp=48, num_attn_layers=2, nheads=4, channel_dim=32,
+                 cal_num_blocks=2)
+    rng = np.random.RandomState(0)
+    h, w = 48, 96
+    data = {
+        "left": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
+        "right": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
+        "disp": jnp.asarray(rng.rand(1, h, w) * 20 + 1, jnp.float32),
+        "occ_mask": jnp.asarray(rng.rand(1, h, w) > 0.9, jnp.float32),
+        "occ_mask_right": jnp.asarray(rng.rand(1, h, w) > 0.9, jnp.float32),
+    }
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out = model.apply(variables, data, train=True)
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+
+    def loss_fn(params):
+        o = model.apply({"params": params}, data, train=True)
+        return model.get_loss(o, data)[0]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = sum(float(jnp.sum(g.astype(jnp.float32) ** 2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # eval without GT inputs
+    ev = model.apply(variables, {"left": data["left"], "right": data["right"]},
+                     train=False)
+    assert ev["disp_pred"].shape == (1, h, w)
+    assert ev["occ_pred"].shape == (1, h, w)
+
+
+def test_sinkhorn_doubly_stochastic():
+    from openstereo_tpu.models.sttr.sttr import optimal_transport
+
+    rng = np.random.RandomState(0)
+    attn = jnp.asarray(rng.randn(1, 2, 8, 8), jnp.float32)
+    # plan / 2W = exp(sinkhorn): rows/cols (sans dustbin) sum to mu = 1/(2W)
+    plan = np.asarray(optimal_transport(attn, jnp.asarray(0.0), iters=50)) / (2 * 8)
+    row_sums = plan.sum(-1)[..., :-1]   # [1,2,8]
+    np.testing.assert_allclose(row_sums, 1.0 / 16, rtol=1e-3)
+    col_sums = plan.sum(-2)[..., :-1]
+    np.testing.assert_allclose(col_sums, 1.0 / 16, rtol=1e-2)
+
+
 def test_resize_align_corners_matches_torch():
     import torch
     import torch.nn.functional as F
