@@ -13,6 +13,8 @@ from .psmnet import PSMNet  # noqa: F401
 from .gwcnet import GwcNet  # noqa: F401
 from .igev import IGEV  # noqa: F401
 from .sttr import STTR  # noqa: F401
+from .coex import CoExNet  # noqa: F401
+from .msnet import MSNet2D, MSNet3D  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -139,6 +139,56 @@ def apply_norm(mod: nn.Module, x, train: bool):
     raise ValueError(f"unknown norm {mod.norm!r}")
 
 
+class MobileV2Residual3D(nn.Module):
+    """3D inverted residual (reference: msnet/submodule.py:136-173), NDHWC."""
+
+    features: int
+    strides: int = 1
+    expanse_ratio: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        inp = x.shape[-1]
+        hidden = round(inp * self.expanse_ratio)
+        use_res = self.strides == 1 and inp == self.features
+        y = ConvBlock(hidden, 1, norm="batch", act=relu6, ndim=3,
+                      dtype=self.dtype, name="pw")(x, train=train)
+        y = ConvBlock(hidden, 3, strides=self.strides, groups=hidden, norm="batch",
+                      act=relu6, ndim=3, dtype=self.dtype, name="dw")(y, train=train)
+        y = ConvBlock(self.features, 1, norm="batch", ndim=3, dtype=self.dtype,
+                      name="pw_linear")(y, train=train)
+        return x + y if use_res else y
+
+
+class MobileV1Residual(nn.Module):
+    """Depthwise-separable residual (reference: msnet/submodule.py:45-91)."""
+
+    features: int
+    strides: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        inp = x.shape[-1]
+
+        def dws(v, f, s, second_relu, name):
+            v = ConvBlock(v.shape[-1], 3, strides=s, dilation=self.dilation,
+                          groups=v.shape[-1], norm="batch", act=relu6,
+                          dtype=self.dtype, name=f"{name}_dw")(v, train=train)
+            v = ConvBlock(f, 1, norm="batch", act=relu6 if second_relu else None,
+                          dtype=self.dtype, name=f"{name}_pw")(v, train=train)
+            return v
+
+        y = dws(x, self.features, self.strides, True, "conv1")
+        y = dws(y, self.features, 1, False, "conv2")
+        if self.strides != 1 or inp != self.features:
+            x = ConvBlock(self.features, 1, strides=self.strides, norm="batch",
+                          dtype=self.dtype, name="downsample")(x, train=train)
+        return y + x
+
+
 class MobileV2Residual(nn.Module):
     """Inverted residual: pw-expand → dw 3×3 → pw-linear, all BN
     (reference: lightstereo/aggregation.py:67-105)."""

@@ -74,6 +74,27 @@ def test_igev_forward():
     _check_model(model, _data(b=1, h=64, w=128), aux_key="disp_preds", n_aux=2)
 
 
+def test_coex_forward():
+    from openstereo_tpu.models.coex import CoExNet
+
+    model = CoExNet(max_disp=16)
+    _check_model(model, _data(), aux_key="disp_preds", n_aux=2)
+
+
+def test_msnet3d_forward():
+    from openstereo_tpu.models.msnet import MSNet3D
+
+    model = MSNet3D(max_disp=16)
+    _check_model(model, _data(), aux_key="disp_preds", n_aux=4)
+
+
+def test_msnet2d_forward():
+    from openstereo_tpu.models.msnet import MSNet2D
+
+    model = MSNet2D(max_disp=16)
+    _check_model(model, _data(), aux_key="disp_preds", n_aux=4)
+
+
 def test_sttr_forward_and_grad():
     from openstereo_tpu.models.sttr import STTR
 
