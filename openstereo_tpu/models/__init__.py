@@ -15,6 +15,8 @@ from .igev import IGEV  # noqa: F401
 from .sttr import STTR  # noqa: F401
 from .coex import CoExNet  # noqa: F401
 from .msnet import MSNet2D, MSNet3D  # noqa: F401
+from .fadnet import FADNet  # noqa: F401
+from .casnet import CasPSMNet, CasGwcNet  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -15,4 +15,4 @@ from .upsample import (  # noqa: F401
     resize_bilinear,
     resize_linear_align_corners,
 )
-from .sampler import bilinear_sampler, disp_warp  # noqa: F401
+from .sampler import bilinear_sampler, disp_warp, sample_along_w  # noqa: F401

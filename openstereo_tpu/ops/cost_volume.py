@@ -44,8 +44,16 @@ def correlation_volume(left: jnp.ndarray, right: jnp.ndarray, max_disp: int) -> 
 
     left/right: [B, H, W, C] → [B, H, W, D] with D = max_disp.
     """
+    b, h, w, _ = left.shape
     planes = []
     for d in range(max_disp):
+        if d >= w:
+            # shift beyond the frame: no overlap → zero plane (the reference's
+            # build_corr falls back to the full product here, cost_volume.py:100;
+            # that only triggers on degenerate inputs and zeros are the
+            # geometrically correct value)
+            planes.append(jnp.zeros((b, h, w), left.dtype))
+            continue
         l, r = _shifted_pairs(left, right, d)
         planes.append(_pad_front_w(jnp.mean(l * r, axis=-1), d))
     return jnp.stack(planes, axis=-1)

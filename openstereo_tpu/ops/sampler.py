@@ -51,6 +51,30 @@ def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def sample_along_w(y: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Linear-interp sample of `y` [B,H,W,C] at x-positions `pos` [B,D,H,W].
+
+    Returns [B,D,H,W,C]; zero outside the frame (grid_sample align_corners=True
+    + zeros semantics restricted to the W axis — the warped-cost-volume core of
+    CasNet/CFNet, reference casnet/cas_psm.py:282-318).
+    """
+    b, h, w, c = y.shape
+    x0 = jnp.floor(pos)
+    frac = (pos - x0).astype(y.dtype)
+    x0 = x0.astype(jnp.int32)
+    y_b = y[:, None]  # [B,1,H,W,C]
+    out = None
+    for tap in (0, 1):
+        xi = x0 + tap
+        valid = (xi >= 0) & (xi < w)
+        wgt = jnp.where(tap == 0, 1.0 - frac, frac) * valid.astype(y.dtype)
+        idx = jnp.clip(xi, 0, w - 1)[..., None]  # [B,D,H,W,1]
+        g = jnp.take_along_axis(y_b, idx, axis=3)
+        contrib = g * wgt[..., None]
+        out = contrib if out is None else out + contrib
+    return out
+
+
 def disp_warp(right: jnp.ndarray, disp: jnp.ndarray):
     """Warp right view to the left camera: sample right at (x - disp, y).
 

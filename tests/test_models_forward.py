@@ -95,6 +95,44 @@ def test_msnet2d_forward():
     _check_model(model, _data(), aux_key="disp_preds", n_aux=4)
 
 
+def test_casnet_forward():
+    from openstereo_tpu.models.casnet import CasPSMNet
+
+    model = CasPSMNet(max_disp=32, ndisps=(16, 8), disp_interval_pixel=(2.0, 1.0))
+    data = _data(h=64, w=128)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out, _ = model.apply(variables, data, train=True, mutable=["batch_stats"])
+    assert len(out["stage1"]) == 4 and len(out["stage2"]) == 4
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+    ev = model.apply(variables, data, train=False)
+    assert ev["disp_pred"].shape == data["disp"].shape
+
+
+def test_casgwc_forward():
+    from openstereo_tpu.models.casnet import CasGwcNet
+
+    model = CasGwcNet(max_disp=32, ndisps=(16, 8), disp_interval_pixel=(2.0, 1.0))
+    data = _data(h=64, w=128)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    ev = model.apply(variables, data, train=False)
+    assert ev["disp_pred"].shape == data["disp"].shape
+
+
+def test_fadnet_forward():
+    from openstereo_tpu.models.fadnet import FADNet
+
+    model = FADNet(max_disp=64)
+    data = _data(h=64, w=192)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out, _ = model.apply(variables, data, train=True, mutable=["batch_stats"])
+    assert len(out["flows_c"]) == 7 and len(out["flows_res"]) == 7
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+    ev = model.apply(variables, data, train=False)
+    assert ev["disp_pred"].shape == data["disp"].shape
+
+
 def test_sttr_forward_and_grad():
     from openstereo_tpu.models.sttr import STTR
 
