@@ -17,6 +17,8 @@ from .coex import CoExNet  # noqa: F401
 from .msnet import MSNet2D, MSNet3D  # noqa: F401
 from .fadnet import FADNet  # noqa: F401
 from .casnet import CasPSMNet, CasGwcNet  # noqa: F401
+from .cfnet import CFNet  # noqa: F401
+from .aanet import AANet  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -133,6 +133,49 @@ def test_fadnet_forward():
     assert ev["disp_pred"].shape == data["disp"].shape
 
 
+def test_cfnet_forward():
+    from openstereo_tpu.models.cfnet import CFNet
+
+    model = CFNet(max_disp=64)
+    data = _data(h=64, w=128)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out, _ = model.apply(variables, data, train=True, mutable=["batch_stats"])
+    assert len(out["disp_preds"]) == 9
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+    ev = model.apply(variables, data, train=False)
+    assert ev["disp_pred"].shape == data["disp"].shape
+
+
+def test_aanet_forward():
+    from openstereo_tpu.models.aanet import AANet
+
+    model = AANet(max_disp=48)
+    data = _data(h=48, w=96)  # divisible by 12 (stride-3 stem × /4)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out, _ = model.apply(variables, data, train=True, mutable=["batch_stats"])
+    assert len(out["disp_preds"]) == 5
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+    ev = model.apply(variables, data, train=False)
+    assert ev["disp_pred"].shape == data["disp"].shape
+
+
+def test_deform_conv_matches_plain_conv():
+    """Zero offsets + unit mask must reduce to a standard conv."""
+    from openstereo_tpu.ops.deform_conv import modulated_deform_conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 10, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 4, 6), jnp.float32)
+    off = jnp.zeros((1, 8, 10, 2 * 2 * 9))
+    mask = jnp.ones((1, 8, 10, 2 * 9))
+    got = modulated_deform_conv(x, off, mask, w, dilation=1, deformable_groups=2)
+    exp = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
+
+
 def test_sttr_forward_and_grad():
     from openstereo_tpu.models.sttr import STTR
 
