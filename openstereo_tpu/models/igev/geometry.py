@@ -17,31 +17,28 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 
 def lookup_1d(vol: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Linear-interp gather along the last axis.
+    """Linear-interp lookup along the last axis, gather-free.
 
     vol: [B,H,W,C,L]; pos: [B,H,W,T] (pixel coords in [0,L-1], zeros outside)
     → [B,H,W,C·T].
+
+    Formulated as a per-pixel [C,L]×[L,T] contraction against a hat-function
+    weight matrix relu(1-|pos-l|) — exactly linear interpolation with zero
+    padding, but it runs on the MXU. The obvious two-tap `take_along_axis`
+    version lowers to XLA gathers that degrade ~200× inside `lax.scan` on TPU
+    (the IGEV GRU loop), while this form stays fast inside the loop.
     """
     b, h, w, c, l = vol.shape
     t = pos.shape[-1]
-    x0 = jnp.floor(pos)
-    frac = (pos - x0).astype(vol.dtype)
-    x0 = x0.astype(jnp.int32)
-
-    out = None
-    for tap in (0, 1):
-        xi = x0 + tap
-        valid = (xi >= 0) & (xi < l)
-        wgt = jnp.where(tap == 0, 1.0 - frac, frac) * valid.astype(vol.dtype)
-        idx = jnp.clip(xi, 0, l - 1)[:, :, :, None, :]          # [B,H,W,1,T]
-        gathered = jnp.take_along_axis(vol, jnp.broadcast_to(idx, (b, h, w, c, t)),
-                                       axis=-1)                  # [B,H,W,C,T]
-        contrib = gathered * wgt[:, :, :, None, :]
-        out = contrib if out is None else out + contrib
+    idx = jnp.arange(l, dtype=pos.dtype)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., :, None] - idx))  # [B,H,W,T,L]
+    out = jnp.einsum("bhwcl,bhwtl->bhwct", vol, hat.astype(vol.dtype),
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(b, h, w, c * t)
 
 

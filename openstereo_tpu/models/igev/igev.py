@@ -89,6 +89,58 @@ class GeoHourglass(nn.Module):
             conv1, train=train)
 
 
+class _GRUIteration(nn.Module):
+    """One slow-fast GRU iteration — the body of the scanned loop.
+
+    carry = (net_list, disp, geo_pyramid, corr_pyramid, inp_list, coords);
+    emits (disp [B,H/4,W/4], mask_feat_4) per iteration.
+    """
+
+    hidden_dims: Sequence[int]
+    n_gru_layers: int
+    slow_fast_gru: bool
+    radius: int
+    num_levels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        from .geometry import lookup_1d
+
+        net_list, disp, geo_pyr, corr_pyr, inp_list, coords = carry
+        net_list = list(net_list)
+        disp = jax.lax.stop_gradient(disp)
+
+        # geometry lookup (CombinedGeoEncodingVolume.__call__ inlined over
+        # the carried pyramids)
+        r = self.radius
+        dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
+        feats = []
+        for i in range(self.num_levels):
+            scale = 2.0 ** i
+            feats.append(lookup_1d(geo_pyr[i], disp[..., 0, None] / scale + dx))
+            feats.append(lookup_1d(
+                corr_pyr[i], (coords - disp[..., 0])[..., None] / scale + dx))
+        geo_feat = jnp.concatenate(feats, axis=-1)
+
+        update_block = BasicMultiUpdateBlock(
+            hidden_dims=tuple(self.hidden_dims), n_gru_layers=self.n_gru_layers,
+            dtype=self.dtype, name="update_block")
+        if self.n_gru_layers == 3 and self.slow_fast_gru:
+            net_list = update_block(net_list, inp_list, iter16=True,
+                                    iter08=False, iter04=False, update=False)
+        if self.n_gru_layers >= 2 and self.slow_fast_gru:
+            net_list = update_block(net_list, inp_list,
+                                    iter16=self.n_gru_layers == 3,
+                                    iter08=True, iter04=False, update=False)
+        net_list, mask_feat_4, delta = update_block(
+            net_list, inp_list, geo_feat, disp,
+            iter16=self.n_gru_layers == 3, iter08=self.n_gru_layers >= 2)
+        disp = disp + delta
+        new_carry = (tuple(net_list), disp, geo_pyr, corr_pyr, inp_list, coords)
+        return new_carry, (disp[..., 0], mask_feat_4)
+
+
 @MODELS.register
 class IGEV(nn.Module):
     """forward(data) → {'disp_pred', 'init_disp'+'disp_preds' (train)}.
@@ -171,10 +223,6 @@ class IGEV(nn.Module):
         coords = jnp.broadcast_to(jnp.arange(w4, dtype=jnp.float32)[None, None, :],
                                   (b, h4, w4))
 
-        update_block = BasicMultiUpdateBlock(
-            hidden_dims=tuple(self.hidden_dims)[::-1],  # [16,8,4] ordering
-            n_gru_layers=self.n_gru_layers, dtype=self.dtype, name="update_block")
-
         spx_2_gru = Conv2x(32, deconv=True, norm="batch", dtype=self.dtype,
                            name="spx_2_gru")
         spx_gru = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
@@ -185,28 +233,51 @@ class IGEV(nn.Module):
             spx = nn.softmax(spx_gru(x).astype(jnp.float32), axis=-1)
             return context_upsample(disp4 * 4.0, spx)  # [B,H,W]
 
+        # GRU iterations as a single-trace lax.scan (nn.scan): 22/32 unrolled
+        # update blocks would explode XLA compile time at full resolution; the
+        # scanned cell is traced once and parameters are broadcast across
+        # iterations (the reference's Python loop shares modules the same way).
         iters = self.train_iters if train else self.valid_iters
-        disp = init_disp[..., None]  # [B,H/4,W/4,1]
-        disp_preds = []
-        disp_up = None
-        for _ in range(iters):
-            disp = jax.lax.stop_gradient(disp)
-            geo_feat = geo_fn(disp[..., 0], coords)
-            if self.n_gru_layers == 3 and self.slow_fast_gru:
-                net_list = update_block(net_list, inp_list, iter16=True,
-                                        iter08=False, iter04=False, update=False)
-            if self.n_gru_layers >= 2 and self.slow_fast_gru:
-                net_list = update_block(net_list, inp_list,
-                                        iter16=self.n_gru_layers == 3,
-                                        iter08=True, iter04=False, update=False)
-            net_list, mask_feat_4, delta = update_block(
-                net_list, inp_list, geo_feat, disp,
-                iter16=self.n_gru_layers == 3, iter08=self.n_gru_layers >= 2)
-            disp = disp + delta
-            if train:
-                disp_preds.append(upsample_disp(disp[..., 0], mask_feat_4, stem_2x))
-        disp_up = disp_preds[-1] if train else upsample_disp(
-            disp[..., 0], mask_feat_4, stem_2x)
+        ScannedLoop = nn.scan(
+            _GRUIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )
+        loop = ScannedLoop(
+            hidden_dims=tuple(self.hidden_dims)[::-1],
+            n_gru_layers=self.n_gru_layers,
+            slow_fast_gru=self.slow_fast_gru,
+            radius=self.corr_radius,
+            num_levels=self.corr_levels,
+            dtype=self.dtype,
+            name="gru_loop",
+        )
+        carry = (
+            tuple(net_list),
+            init_disp[..., None],
+            tuple(geo_fn.geo_pyramid),
+            tuple(geo_fn.corr_pyramid),
+            tuple(inp_list),
+            coords,
+        )
+        carry, (disp_seq, mask_seq) = loop(carry, None)
+        final_disp = carry[1]
+        final_mask_feat = mask_seq[-1]
+
+        if train:
+            # upsample every iterate: fold iterations into the batch axis so
+            # the superpixel convs run once over [iters·B, ...]
+            n_it = disp_seq.shape[0]
+            disp_flat = disp_seq.reshape(n_it * b, h4, w4)
+            mask_flat = mask_seq.reshape(n_it * b, h4, w4, mask_seq.shape[-1])
+            stem_rep = jnp.tile(stem_2x, (n_it, 1, 1, 1))
+            ups = upsample_disp(disp_flat, mask_flat, stem_rep)
+            ups = ups.reshape(n_it, b, *ups.shape[1:])
+            disp_preds = [ups[i] for i in range(n_it)]
+            disp_up = disp_preds[-1]
+        else:
+            disp_up = upsample_disp(final_disp[..., 0], final_mask_feat, stem_2x)
 
         out = {"disp_pred": disp_up}
         if train:
