@@ -82,7 +82,8 @@ class Bottleneck(nn.Module):
         if self.deform:
             y = DeformConv2d(width, strides=self.strides, dilation=2,
                              dtype=self.dtype, name="conv2")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            use_ra = (not train) or (not self.is_mutable_collection("batch_stats"))
+            y = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
                              dtype=self.dtype, name="bn2")(y)
             y = nn.relu(y)
         else:
@@ -115,7 +116,8 @@ class SimpleBottleneck(nn.Module):
             y = DeformConv2d(width, dilation=self.mdconv_dilation,
                              deformable_groups=self.deformable_groups,
                              dtype=self.dtype, name="conv2")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            use_ra = (not train) or (not self.is_mutable_collection("batch_stats"))
+            y = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
                              dtype=self.dtype, name="bn2")(y)
             y = nn.relu(y)
         else:

@@ -120,12 +120,20 @@ class DeconvBlock(nn.Module):
 
 
 def apply_norm(mod: nn.Module, x, train: bool):
-    """Shared norm dispatch for ConvBlock/DeconvBlock."""
+    """Shared norm dispatch for ConvBlock/DeconvBlock.
+
+    BatchNorm uses batch statistics only when training AND the 'batch_stats'
+    collection is mutable in this apply. Calling apply with `mutable=[]`
+    (or without batch_stats) therefore freezes BN — the reference's FREEZE_BN
+    (stereo/utils/common_utils.py:114-139) without threading an extra flag
+    through every module.
+    """
     if mod.norm is None:
         return x
     if mod.norm == "batch":
+        use_ra = (not train) or (not mod.is_mutable_collection("batch_stats"))
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=use_ra, momentum=0.9, epsilon=1e-5,
             dtype=mod.dtype, name="bn",
         )(x)
     if mod.norm == "instance":

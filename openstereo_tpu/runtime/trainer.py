@@ -73,6 +73,7 @@ class Trainer:
 
         opt = cfg.OPTIMIZATION
         self.use_bf16 = bool(opt.get("AMP", False))
+        self.freeze_bn = bool(opt.get("FREEZE_BN", False))
         dtype = jnp.bfloat16 if self.use_bf16 else jnp.float32
         self.model = build_model(cfg.MODEL, dtype=dtype)
         self.max_disp = cfg.EVALUATOR.get("MAX_DISP", cfg.MODEL.get("MAX_DISP", 192))
@@ -117,6 +118,29 @@ class Trainer:
         self._eval_step = self._build_eval_step()
         self.metrics_file = os.path.join(run_dir, "metrics.jsonl")
 
+        # TensorBoard scalars + disparity visualisations
+        # (reference trainer_template.py:239-245,293-298; common_utils.py:183-220)
+        self.tb = None
+        if self.process_index == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(run_dir, "tensorboard"))
+            except Exception:
+                self.logger.warning("tensorboard unavailable; JSONL metrics only")
+
+    def backup_source(self):
+        """Copy the framework source into the run dir
+        (reference common_utils.py:74-83)."""
+        import shutil
+
+        dst = os.path.join(self.run_dir, "source_backup")
+        if self.process_index != 0 or os.path.exists(dst):
+            return
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        shutil.copytree(pkg_root, os.path.join(dst, "openstereo_tpu"),
+                        ignore=shutil.ignore_patterns("__pycache__"))
+
     # ------------------------------------------------------------- state init
     def _dummy_batch(self, mode: str) -> Dict[str, jnp.ndarray]:
         h, w = input_hw(self.cfg.DATA_CONFIG, mode)
@@ -147,14 +171,20 @@ class Trainer:
     # ------------------------------------------------------------- steps
     def _build_train_step(self):
         model = self.model
+        freeze_bn = self.freeze_bn
 
         def train_step(state: TrainState, batch):
             def loss_fn(params):
+                # FREEZE_BN (reference common_utils.py:114-139): calling apply
+                # without a mutable 'batch_stats' collection makes every
+                # BatchNorm use its running averages (see models/layers.py)
                 out, mutated = state.apply_fn(
                     {"params": params, "batch_stats": state.batch_stats},
-                    batch, train=True, mutable=["batch_stats"])
+                    batch, train=True,
+                    mutable=[] if freeze_bn else ["batch_stats"])
                 loss, info = model.get_loss(out, batch)
-                return loss, (info, mutated["batch_stats"])
+                new_bs = state.batch_stats if freeze_bn else mutated["batch_stats"]
+                return loss, (info, new_bs)
 
             (loss, (info, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
@@ -305,3 +335,20 @@ class Trainer:
             return
         with open(self.metrics_file, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.tb is not None:
+            step = record.get("epoch", 0) * 100000 + record.get("iter", 0)
+            prefix = record.get("phase", "train")
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k not in ("epoch", "iter"):
+                    self.tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def log_visualization(self, disp_pred, disp_gt, epoch: int, tag: str = "eval"):
+        """Colormapped gt/pred/error triptych to TensorBoard
+        (reference common_utils.py:183-208)."""
+        if self.tb is None:
+            return
+        from ..utils.visualization import triptych
+
+        img = triptych(np.asarray(disp_pred, np.float32),
+                       np.asarray(disp_gt, np.float32), float(self.max_disp))
+        self.tb.add_image(f"{tag}/disparity", img, epoch, dataformats="HWC")
