@@ -1,0 +1,1 @@
+from .corr_volume import correlation_volume_pallas  # noqa: F401
