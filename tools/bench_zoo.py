@@ -1,0 +1,93 @@
+"""Benchmark the whole model zoo on one TPU chip: eval latency at the
+reference measurement protocol (tools/measure.py: warm-up + timed reps),
+bf16, batch 1. Writes docs/BENCHMARKS.json and prints a table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# model → (constructor kwargs, (H, W)); shapes follow each model's reference
+# eval padding (544x960 SceneFlow default; 576x960 where /64 or /12 is needed)
+ZOO = {
+    "LightStereo-S": ("LightStereo", {"aggregation_blocks": (1, 2, 4), "expanse_ratio": 4}, (544, 960)),
+    "LightStereo-M": ("LightStereo", {"aggregation_blocks": (4, 8, 16), "expanse_ratio": 4}, (544, 960)),
+    "LightStereo-L": ("LightStereo", {"aggregation_blocks": (8, 16, 32), "expanse_ratio": 8}, (544, 960)),
+    "PSMNet": ("PSMNet", {}, (544, 960)),
+    "GwcNet": ("GwcNet", {}, (544, 960)),
+    "CoExNet": ("CoExNet", {}, (544, 960)),
+    "MSNet2D": ("MSNet2D", {}, (544, 960)),
+    "MSNet3D": ("MSNet3D", {}, (544, 960)),
+    "CFNet": ("CFNet", {}, (576, 960)),
+    "FADNet": ("FADNet", {}, (576, 960)),
+    "CasPSMNet": ("CasPSMNet", {}, (544, 960)),
+    "CasGwcNet": ("CasGwcNet", {}, (544, 960)),
+    "AANet": ("AANet", {}, (576, 960)),
+    "STTR": ("STTR", {}, (544, 960)),
+    "IGEV": ("IGEV", {"valid_iters": 32}, (544, 960)),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="*", default=list(ZOO))
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--out", default="docs/BENCHMARKS.json")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openstereo_tpu.registry import MODELS
+    import openstereo_tpu.models  # noqa: F401  (register)
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for name in args.models:
+        cls_name, kwargs, (h, w) = ZOO[name]
+        try:
+            model = MODELS.get(cls_name)(max_disp=192, dtype=jnp.bfloat16, **kwargs)
+            data = {
+                "left": jnp.zeros((1, h, w, 3), jnp.float32),
+                "right": jnp.zeros((1, h, w, 3), jnp.float32),
+            }
+            t0 = time.perf_counter()
+            variables = jax.jit(
+                lambda b: model.init(jax.random.key(0), b, train=False))(data)
+            n_params = sum(int(np.prod(x.shape))
+                           for x in jax.tree.leaves(variables["params"]))
+            fwd = jax.jit(lambda b: model.apply(variables, b, train=False)["disp_pred"])
+            out = jax.block_until_ready(fwd(data))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out = fwd(data)
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) / args.reps * 1e3
+            results[name] = {
+                "params_M": round(n_params / 1e6, 2),
+                "latency_ms": round(ms, 2),
+                "fps": round(1e3 / ms, 1),
+                "input": f"{h}x{w}",
+                "compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+            print(f"{name:16s} {n_params/1e6:7.2f}M  {ms:8.2f} ms  {1e3/ms:7.1f} fps")
+        except Exception as e:  # keep sweeping
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
