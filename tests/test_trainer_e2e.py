@@ -97,6 +97,21 @@ def test_train_eval_ckpt_roundtrip(run_cfg, tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
+def test_freeze_bn(run_cfg, tmp_path):
+    """FREEZE_BN: batch_stats must not change during training."""
+    import copy
+
+    cfg = copy.deepcopy(run_cfg)
+    cfg.OPTIMIZATION.FREEZE_BN = True
+    mesh = make_mesh(data=8, model=1)
+    trainer = Trainer(cfg, str(tmp_path / "run_fbn"), mesh=mesh, num_workers=1)
+    bs_before = jax.device_get(jax.tree.leaves(trainer.state.batch_stats))
+    trainer.train_one_epoch(0)
+    bs_after = jax.device_get(jax.tree.leaves(trainer.state.batch_stats))
+    for a, b in zip(bs_before, bs_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bn_stats_are_global(run_cfg, tmp_path):
     """BatchNorm updates must reflect the full (sharded) batch — SyncBN parity."""
     mesh = make_mesh(data=8, model=1)
