@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import build_concat_volume, build_gwc_volume, disparity_regression
+from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
 from ..layers import ConvBlock, DeconvBlock
 from ..losses import disp_valid_mask, masked_smooth_l1
@@ -121,6 +122,7 @@ class GwcNet(nn.Module):
             cat_vol = build_concat_volume(feat_l["concat_feature"],
                                           feat_r["concat_feature"], d4)
             volume = jnp.concatenate([volume, cat_vol], axis=-1)
+        volume = shard_disparity(volume)  # split D over the mesh 'model' axis
 
         c = 32
         cost0 = ConvBlock(c, 3, norm="batch", act=nn.relu, ndim=3, dtype=self.dtype,

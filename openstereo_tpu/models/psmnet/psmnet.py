@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import build_concat_volume, disparity_regression, resize_linear_align_corners
+from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
 from ..layers import ConvBlock, DeconvBlock
 from ..losses import disp_valid_mask, masked_smooth_l1
@@ -138,6 +139,7 @@ class PSMNet(nn.Module):
         feat_r = backbone(data["right"], train=train)
 
         volume = build_concat_volume(feat_l, feat_r, self.max_disp // 4)
+        volume = shard_disparity(volume)  # split D over the mesh 'model' axis
 
         c = 32
         cost0 = ConvBlock(c, 3, norm="batch", act=nn.relu, ndim=3, dtype=self.dtype,

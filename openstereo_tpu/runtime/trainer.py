@@ -222,7 +222,10 @@ class Trainer:
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
             batch = shard_batch(batch, self.mesh)
             t1 = time.perf_counter()
-            self.state, metrics = self._train_step(self.state, batch)
+            # ambient mesh enables in-model sharding constraints
+            # (parallel/sharding.py: disparity-dim TP over the 'model' axis)
+            with jax.set_mesh(self.mesh):
+                self.state, metrics = self._train_step(self.state, batch)
             if i % log_int == 0:
                 metrics = jax.device_get(metrics)
                 last_metrics = {k: float(v) for k, v in metrics.items()}
@@ -245,7 +248,8 @@ class Trainer:
         indices, values = [], {m: [] for m in self.metric_names}
         for batch in self.eval_loader.epoch(0):
             idx = np.asarray(batch["index"])
-            metrics = self._eval_step(self.state, shard_batch(batch, self.mesh))
+            with jax.set_mesh(self.mesh):
+                metrics = self._eval_step(self.state, shard_batch(batch, self.mesh))
             metrics = jax.device_get(metrics)
             indices.append(idx)
             for m in self.metric_names:
