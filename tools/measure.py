@@ -20,6 +20,8 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--reps", type=int, default=100)
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     args = p.parse_args()
 
     import jax
@@ -52,6 +54,12 @@ def main():
     for _ in range(10):
         out = fwd(data)
     jax.block_until_ready(out)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(5):
+                out = fwd(data)
+            jax.block_until_ready(out)
+        print(f"profiler trace written to {args.profile}")
     t0 = time.perf_counter()
     for _ in range(args.reps):
         out = fwd(data)
