@@ -22,13 +22,20 @@ from .aanet import AANet  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):
-    """Instantiate a model from a MODEL config section."""
+    """Instantiate a model from a MODEL config section.
+
+    UPPER_CASE YAML keys map onto lower_case flax dataclass fields; unknown
+    keys are dropped (the reference's signature-introspection behaviour,
+    common_utils.py:50-71). Lists become tuples so module fields are hashable.
+    """
     cls = MODELS.get(model_cfg.NAME)
-    kwargs = get_valid_kwargs(cls.__init__, model_cfg)
-    # flax dataclass modules: kwargs are fields, not __init__ params
-    field_names = {f for f in getattr(cls, "__dataclass_fields__", {})}
-    kwargs = {k.lower(): v for k, v in model_cfg.items()
-              if k.lower() in field_names} if field_names else kwargs
+    field_names = set(getattr(cls, "__dataclass_fields__", {})) or set(
+        get_valid_kwargs(cls.__init__, model_cfg))
+    kwargs = {}
+    for k, v in model_cfg.items():
+        lk = k.lower()
+        if lk in field_names and lk != "name":
+            kwargs[lk] = tuple(v) if isinstance(v, list) else v
     if dtype is not None and "dtype" in field_names:
         kwargs["dtype"] = dtype
     return cls(**kwargs)
