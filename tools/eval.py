@@ -30,11 +30,14 @@ def main():
     from openstereo_tpu.parallel import make_mesh
     from openstereo_tpu.runtime import Trainer
 
+    from train import inject_data_paths
+
     cfg = load_config(args.cfg_file)
     if args.eval_data_cfg_file:
         ecfg = load_config(args.eval_data_cfg_file)
         cfg.DATA_CONFIG = ecfg.DATA_CONFIG
         cfg.EVALUATOR = ecfg.EVALUATOR
+    cfg = inject_data_paths(cfg)
 
     mesh = make_mesh(model=args.model_par)
     trainer = Trainer(cfg, args.run_dir, run_mode="eval", mesh=mesh,

@@ -34,6 +34,21 @@ def parse_args():
     return p.parse_args()
 
 
+def inject_data_paths(cfg, path="cfgs/data_paths.yaml"):
+    """Overwrite DATA_PATH per dataset from the machine-local mapping
+    (reference: cfgs/data_basic.py DATA_PATH_DICT + tools/train.py:46-50)."""
+    if not os.path.exists(path):
+        return cfg
+    import yaml
+
+    with open(path) as f:
+        roots = yaml.safe_load(f) or {}
+    for info in cfg.DATA_CONFIG.DATA_INFOS:
+        if info.DATASET in roots:
+            info.DATA_PATH = roots[info.DATASET]
+    return cfg
+
+
 def run_dir_for(args, cfg):
     """save_root/<Dataset>/<Model>/<cfg_name>/<tag> (reference train.py:75-86)."""
     ds = cfg.DATA_CONFIG.DATA_INFOS[0].DATASET.replace("Dataset", "")
@@ -52,6 +67,7 @@ def main():
     from openstereo_tpu.utils import set_random_seed
 
     cfg = load_config(args.cfg_file)
+    cfg = inject_data_paths(cfg)
     set_random_seed(args.seed + jax.process_index())
     mesh = make_mesh(model=args.model_par)
     trainer = Trainer(cfg, run_dir_for(args, cfg), run_mode="train", mesh=mesh,
