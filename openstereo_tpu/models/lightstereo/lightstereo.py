@@ -45,20 +45,35 @@ class FPNLayer(nn.Module):
 
 
 class Backbone(nn.Module):
-    """MobileNetV2 + FPN → [p2@1/4 (24c), p3@1/8 (32c), p4@1/16 (96c), c5@1/32 (160c)]
-    (reference backbone.py:30-77)."""
+    """Trunk + FPN → [p2@1/4, p3@1/8, p4@1/16, c5@1/32]
+    (reference backbone.py:30-77).
 
+    MobileNetv2: channels (24, 32, 96, 160); EfficientNetv2 (the LX variant):
+    (48, 64, 160, 272) — reference backbone.py:33-38.
+    """
+
+    backbone: str = "MobileNetv2"
     dtype: Any = jnp.float32
-    output_channels: Sequence[int] = (24, 32, 96, 160)
+
+    @property
+    def output_channels(self) -> Sequence[int]:
+        return (48, 64, 160, 272) if self.backbone == "EfficientNetv2" \
+            else (24, 32, 96, 160)
 
     @nn.compact
     def __call__(self, images, *, train: bool = False) -> List[jnp.ndarray]:
-        c1, c2, c3, c4, c5 = MobileNetV2Features(dtype=self.dtype, name="trunk")(
-            images, train=train)
-        p4 = FPNLayer(96, dtype=self.dtype, name="fpn4")(c5, c4, train=train)
-        p3 = FPNLayer(32, dtype=self.dtype, name="fpn3")(p4, c3, train=train)
-        p2 = FPNLayer(24, dtype=self.dtype, name="fpn2")(p3, c2, train=train)
-        p2 = ConvBlock(24, 3, norm="instance", pad_mode="replicate",
+        if self.backbone == "EfficientNetv2":
+            from ..backbones.efficientnetv2 import EfficientNetV2Features
+
+            trunk = EfficientNetV2Features(dtype=self.dtype, name="trunk")
+        else:
+            trunk = MobileNetV2Features(dtype=self.dtype, name="trunk")
+        c1, c2, c3, c4, c5 = trunk(images, train=train)
+        ch = self.output_channels
+        p4 = FPNLayer(ch[2], dtype=self.dtype, name="fpn4")(c5, c4, train=train)
+        p3 = FPNLayer(ch[1], dtype=self.dtype, name="fpn3")(p4, c3, train=train)
+        p2 = FPNLayer(ch[0], dtype=self.dtype, name="fpn2")(p3, c2, train=train)
+        p2 = ConvBlock(ch[0], 3, norm="instance", pad_mode="replicate",
                        dtype=self.dtype, name="out_conv")(p2, train=train)
         return [p2, p3, p4, c5]
 
@@ -145,12 +160,13 @@ class LightStereo(nn.Module):
     expanse_ratio: int = 4
     aggregation_blocks: Sequence[int] = (1, 2, 4)
     left_att: bool = True
+    backbone: str = "MobileNetv2"  # or 'EfficientNetv2' (LX variant)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         left, right = data["left"], data["right"]
-        backbone = Backbone(dtype=self.dtype, name="backbone")
+        backbone = Backbone(self.backbone, dtype=self.dtype, name="backbone")
         feats_l = backbone(left, train=train)
         feats_r = backbone(right, train=train)
 
@@ -159,6 +175,7 @@ class LightStereo(nn.Module):
         volume = Aggregation(
             in_channels=d4, blocks=self.aggregation_blocks,
             expanse_ratio=self.expanse_ratio, left_att=self.left_att,
+            backbone_channels=backbone.output_channels[:3],
             dtype=self.dtype, name="cost_agg",
         )(volume, feats_l, train=train)
 

@@ -29,7 +29,6 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax  # noqa: F401  (re-exported dependency of train_state)
 
 from ..config import Config
 from ..data import StereoDataLoader
