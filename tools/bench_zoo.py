@@ -17,6 +17,8 @@ ZOO = {
     "LightStereo-S": ("LightStereo", {"aggregation_blocks": (1, 2, 4), "expanse_ratio": 4}, (544, 960)),
     "LightStereo-M": ("LightStereo", {"aggregation_blocks": (4, 8, 16), "expanse_ratio": 4}, (544, 960)),
     "LightStereo-L": ("LightStereo", {"aggregation_blocks": (8, 16, 32), "expanse_ratio": 8}, (544, 960)),
+    "LightStereo-LX": ("LightStereo", {"aggregation_blocks": (8, 16, 32), "expanse_ratio": 8,
+                                       "backbone": "EfficientNetv2"}, (544, 960)),
     "PSMNet": ("PSMNet", {}, (544, 960)),
     "GwcNet": ("GwcNet", {}, (544, 960)),
     "CoExNet": ("CoExNet", {}, (544, 960)),
