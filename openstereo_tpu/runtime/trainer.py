@@ -206,7 +206,7 @@ class Trainer:
             mask = disp_valid_mask(gt, max_disp)
             if "occ_mask" in batch:  # reference trainer_template.py:276-278
                 mask = mask & (batch["occ_mask"] < 0.5)
-            return compute_metrics(disp_pred, gt, mask, metric_names)
+            return compute_metrics(disp_pred, gt, mask, metric_names), disp_pred
 
         return jax.jit(eval_step)
 
@@ -245,11 +245,16 @@ class Trainer:
 
     def evaluate(self, epoch: int) -> Dict[str, float]:
         indices, values = [], {m: [] for m in self.metric_names}
-        for batch in self.eval_loader.epoch(0):
+        visualize = bool(self.cfg.get("TRAINER", {}).get("EVAL_VISUALIZATION", False))
+        for bi, batch in enumerate(self.eval_loader.epoch(0)):
             idx = np.asarray(batch["index"])
             with jax.set_mesh(self.mesh):
-                metrics = self._eval_step(self.state, shard_batch(batch, self.mesh))
+                metrics, disp_pred = self._eval_step(
+                    self.state, shard_batch(batch, self.mesh))
             metrics = jax.device_get(metrics)
+            if visualize and bi == 0:  # first batch's first image per epoch
+                self.log_visualization(jax.device_get(disp_pred)[0],
+                                       batch["disp"][0], epoch)
             indices.append(idx)
             for m in self.metric_names:
                 values[m].append(np.asarray(metrics[m]))

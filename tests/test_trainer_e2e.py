@@ -63,7 +63,8 @@ def run_cfg(tmp_path_factory):
         "EVALUATOR": {"BATCH_SIZE_PER_GPU": 1, "MAX_DISP": 16,
                       "METRIC": ["epe", "d1_all", "thres_1"]},
         "TRAINER": {"EVAL_INTERVAL": 10, "CKPT_SAVE_INTERVAL": 10,
-                    "MAX_CKPT_SAVE_NUM": 3, "LOGGER_ITER_INTERVAL": 1},
+                    "MAX_CKPT_SAVE_NUM": 3, "LOGGER_ITER_INTERVAL": 1,
+                    "EVAL_VISUALIZATION": True},
     })
     return cfg
 
