@@ -69,11 +69,17 @@ def main():
             fwd = jax.jit(lambda b: model.apply(variables, b, train=False)["disp_pred"])
             out = jax.block_until_ready(fwd(data))
             compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out = fwd(data)
-            jax.block_until_ready(out)
-            ms = (time.perf_counter() - t0) / args.reps * 1e3
+            # min over rep-groups: single-shot timings through the dispatch
+            # tunnel carry ±0.5 ms noise
+            group = max(1, args.reps // 5)
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                for _ in range(group):
+                    out = fwd(data)
+                jax.block_until_ready(out)
+                times.append((time.perf_counter() - t0) / group * 1e3)
+            ms = min(times)
             results[name] = {
                 "params_M": round(n_params / 1e6, 2),
                 "latency_ms": round(ms, 2),
