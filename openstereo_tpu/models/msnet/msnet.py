@@ -32,7 +32,6 @@ from ..layers import (
     MobileV1Residual,
     MobileV2Residual,
     MobileV2Residual3D,
-    relu6,
 )
 from ..losses import disp_valid_mask, masked_smooth_l1
 

@@ -15,7 +15,7 @@ TPU-native design notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 
 def _corr_kernel(l_ref, r_prev_ref, r_cur_ref, o_ref, *, max_disp: int,

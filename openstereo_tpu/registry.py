@@ -7,7 +7,7 @@ Here a single Registry class backs models, datasets, and transforms.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, Optional
 
 
 class Registry:
