@@ -95,3 +95,42 @@ def test_depthwise_conv_matches_torch():
     got = np.asarray(blk.apply({"params": {"conv": {"kernel": jnp.asarray(w)}}},
                                _to_nhwc(x), train=False))
     np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_convgru_matches_torch():
+    """IGEV ConvGRU cell vs a hand-built torch equivalent (update.py:28-44)."""
+    from openstereo_tpu.models.igev.update import ConvGRU
+
+    rng = np.random.RandomState(4)
+    b, hh, ww, hd, xd = 1, 5, 7, 8, 6
+    h0 = rng.randn(b, hh, ww, hd).astype(np.float32)
+    xin = rng.randn(b, hh, ww, xd).astype(np.float32)
+    cz = rng.randn(b, hh, ww, hd).astype(np.float32)
+    cr = rng.randn(b, hh, ww, hd).astype(np.float32)
+    cq = rng.randn(b, hh, ww, hd).astype(np.float32)
+
+    cell = ConvGRU(hidden_dim=hd)
+    variables = cell.init(jax.random.key(0),
+                          jnp.asarray(h0), (jnp.asarray(cz), jnp.asarray(cr),
+                                            jnp.asarray(cq)), jnp.asarray(xin))
+    p = variables["params"]
+
+    def tconv(name, inp):
+        w = np.asarray(p[name]["kernel"]).transpose(3, 2, 0, 1)  # HWIO→OIHW
+        bvec = np.asarray(p[name]["bias"])
+        return F.conv2d(inp, torch.from_numpy(w.copy()),
+                        torch.from_numpy(bvec), padding=1)
+
+    th = torch.from_numpy(h0.transpose(0, 3, 1, 2))
+    tx = torch.from_numpy(xin.transpose(0, 3, 1, 2))
+    thx = torch.cat([th, tx], 1)
+    z = torch.sigmoid(tconv("convz", thx) + torch.from_numpy(cz.transpose(0, 3, 1, 2)))
+    r = torch.sigmoid(tconv("convr", thx) + torch.from_numpy(cr.transpose(0, 3, 1, 2)))
+    q = torch.tanh(tconv("convq", torch.cat([r * th, tx], 1))
+                   + torch.from_numpy(cq.transpose(0, 3, 1, 2)))
+    exp = ((1 - z) * th + z * q).detach().numpy().transpose(0, 2, 3, 1)
+
+    got = np.asarray(cell.apply(variables, jnp.asarray(h0),
+                                (jnp.asarray(cz), jnp.asarray(cr), jnp.asarray(cq)),
+                                jnp.asarray(xin)))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
