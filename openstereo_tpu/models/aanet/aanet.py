@@ -26,7 +26,7 @@ from flax import linen as nn
 from ...ops import correlation_volume, disparity_regression, disp_warp, resize_bilinear
 from ...ops.deform_conv import modulated_deform_conv
 from ...registry import MODELS
-from ..layers import ConvBlock, leaky_relu
+from ..layers import ConvBlock, leaky_relu, head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -304,7 +304,7 @@ class AANet(nn.Module):
         # coarse→fine soft-argmax pyramid (1/12, 1/6, 1/3)
         disp_pyramid = []
         for i in range(len(volumes) - 1, -1, -1):
-            prob = nn.softmax(volumes[i].astype(jnp.float32), axis=-1)
+            prob = nn.softmax(volumes[i].astype(head_dtype(self.dtype)), axis=-1)
             disp_pyramid.append(disparity_regression(prob, volumes[i].shape[-1]))
 
         disp = disp_pyramid[-1]

@@ -31,7 +31,7 @@ from flax import linen as nn
 from ...ops import resize_bilinear, sample_along_w
 from ...registry import MODELS
 from ..gwcnet.gwcnet import GwcHourglass
-from ..layers import ConvBlock
+from ..layers import ConvBlock, head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -135,7 +135,7 @@ class CasCostAggregation(nn.Module):
             return ConvBlock(1, 3, ndim=3, dtype=self.dtype, name=f"{name}b")(x, train=train)
 
         def regress(cost):
-            cost = cost[..., 0].astype(jnp.float32)
+            cost = cost[..., 0].astype(head_dtype(self.dtype))
             cost = jax.image.resize(cost, (bsz, fd, fh, fw), method="trilinear")
             prob = nn.softmax(cost, axis=1)
             return regression_with_samples(prob, samples)

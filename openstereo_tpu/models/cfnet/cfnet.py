@@ -33,7 +33,7 @@ from ...ops import (
     sample_along_w,
 )
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock
+from ..layers import ConvBlock, DeconvBlock, head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -229,7 +229,7 @@ class CFNet(nn.Module):
             v = cb3(f, f"{name}a")(v, train=train)
             return ConvBlock(1, 3, ndim=3, dtype=self.dtype, name=f"{name}b")(v, train=train)
 
-        cost2_s4 = classify(out2_4, 32, "classif2")[..., 0].astype(jnp.float32)
+        cost2_s4 = classify(out2_4, 32, "classif2")[..., 0].astype(head_dtype(self.dtype))
         prob_s4 = nn.softmax(cost2_s4, axis=1)
         pred2_s4 = disparity_regression(prob_s4, md // 8, axis=1)  # [B,H/8,W/8]
         pred2_cur = jax.lax.stop_gradient(pred2_s4)
@@ -269,7 +269,7 @@ class CFNet(nn.Module):
         cost0_s3 = dres(vol_s3, 32, "conf_s3")
         out1_s3 = MishHourglass(32, dtype=self.dtype, name="conf2_s3")(cost0_s3, train=train)
         out2_s3 = MishHourglass(32, dtype=self.dtype, name="conf3_s3")(out1_s3, train=train)
-        cost1_s3 = classify(out2_s3, 32, "conf_classif1_s3")[..., 0].astype(jnp.float32)
+        cost1_s3 = classify(out2_s3, 32, "conf_classif1_s3")[..., 0].astype(head_dtype(self.dtype))
         prob1_s3 = nn.softmax(cost1_s3, axis=1)
         pred1_s3 = jnp.sum(prob1_s3 * samples_s3, axis=1)
         pred1_cur = jax.lax.stop_gradient(pred1_s3)
@@ -284,7 +284,7 @@ class CFNet(nn.Module):
         cost0_s2 = dres(vol_s2, 16, "conf_s2")
         out1_s2 = MishHourglass(16, dtype=self.dtype, name="conf2_s2")(cost0_s2, train=train)
         out2_s2 = MishHourglass(16, dtype=self.dtype, name="conf3_s2")(out1_s2, train=train)
-        cost1_s2 = classify(out2_s2, 16, "conf_classif1_s2")[..., 0].astype(jnp.float32)
+        cost1_s2 = classify(out2_s2, 16, "conf_classif1_s2")[..., 0].astype(head_dtype(self.dtype))
         prob1_s2 = nn.softmax(cost1_s2, axis=1)
         pred1_s2 = jnp.sum(prob1_s2 * samples_s2, axis=1)
 
@@ -298,12 +298,12 @@ class CFNet(nn.Module):
 
         # training-only heads (reference cfnet.py:608-655)
         def regress_full(cost, name):
-            c = classify(cost, 32, name)[..., 0].astype(jnp.float32)
+            c = classify(cost, 32, name)[..., 0].astype(head_dtype(self.dtype))
             c = resize_linear_align_corners(c, (md, h, w), (1, 2, 3))
             return disparity_regression(nn.softmax(c, axis=1), md, axis=1)
 
         def sample_head(vol, samples, scale, f, name):
-            c = classify(vol, f, name)[..., 0].astype(jnp.float32)
+            c = classify(vol, f, name)[..., 0].astype(head_dtype(self.dtype))
             p = jnp.sum(nn.softmax(c, axis=1) * samples, axis=1)
             return up_full(p, scale)
 

@@ -160,14 +160,14 @@ class CoExNet(nn.Module):
                       name="spx_2")(xspx, stem_2x, train=train)
         spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
                                dtype=self.dtype, name="spx")(xspx)
-        spx_pred = nn.softmax(spx.astype(jnp.float32), axis=-1)  # [B,H,W,9]
+        spx_pred = nn.softmax(spx.astype(head_dtype(self.dtype)), axis=-1)  # [B,H,W,9]
 
         # top-k regression (reference coex_disp_processor.py:28-66)
-        cost_t = jnp.transpose(cost, (0, 2, 3, 1)).astype(jnp.float32)  # [B,H/4,W/4,D]
+        cost_t = jnp.transpose(cost, (0, 2, 3, 1)).astype(head_dtype(self.dtype))  # [B,H/4,W/4,D]
         k = self.regression_topk
         topv, topi = jax.lax.top_k(cost_t, k)
         prob = nn.softmax(topv, axis=-1)
-        disp_4 = jnp.sum(prob * topi.astype(jnp.float32), axis=-1)  # [B,H/4,W/4]
+        disp_4 = jnp.sum(prob * topi.astype(head_dtype(self.dtype)), axis=-1)  # [B,H/4,W/4]
 
         disp_1 = context_upsample(disp_4 * 4.0, spx_pred)  # [B,H,W]
 

@@ -25,7 +25,7 @@ from flax import linen as nn
 from ...ops import build_concat_volume, build_gwc_volume, disparity_regression
 from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock
+from ..layers import ConvBlock, DeconvBlock, head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -148,7 +148,7 @@ class GwcNet(nn.Module):
             return ConvBlock(1, 3, ndim=3, dtype=self.dtype, name=f"{name}b")(x, train=train)
 
         def regress(cost):
-            cost = cost[..., 0].astype(jnp.float32)  # [B, D/4, H/4, W/4]
+            cost = cost[..., 0].astype(head_dtype(self.dtype))  # [B, D/4, H/4, W/4]
             # trilinear align_corners=False = half-pixel-center linear resize
             cost = jax.image.resize(cost, (b, self.max_disp, h, w), method="trilinear")
             prob = nn.softmax(cost, axis=1)

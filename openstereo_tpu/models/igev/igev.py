@@ -199,7 +199,7 @@ class IGEV(nn.Module):
 
         cost = nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False,
                        dtype=self.dtype, name="classifier")(geo_volume)
-        prob = nn.softmax(cost[..., 0].astype(jnp.float32), axis=1)
+        prob = nn.softmax(cost[..., 0].astype(head_dtype(self.dtype)), axis=1)
         init_disp = disparity_regression(prob, d4, axis=1)  # [B,H/4,W/4]
 
         # context network
@@ -215,8 +215,8 @@ class IGEV(nn.Module):
             inp_list.append(tuple(jnp.split(z, 3, axis=-1)))
 
         geo_fn = CombinedGeoEncodingVolume(
-            match_left.astype(jnp.float32), match_right.astype(jnp.float32),
-            geo_volume.astype(jnp.float32),
+            match_left.astype(head_dtype(self.dtype)), match_right.astype(head_dtype(self.dtype)),
+            geo_volume.astype(head_dtype(self.dtype)),
             num_levels=self.corr_levels, radius=self.corr_radius)
 
         b, h4, w4 = init_disp.shape
@@ -230,7 +230,7 @@ class IGEV(nn.Module):
 
         def upsample_disp(disp4, mask_feat_4, stem_2x):
             x = spx_2_gru(mask_feat_4, stem_2x, train=train)
-            spx = nn.softmax(spx_gru(x).astype(jnp.float32), axis=-1)
+            spx = nn.softmax(spx_gru(x).astype(head_dtype(self.dtype)), axis=-1)
             return context_upsample(disp4 * 4.0, spx)  # [B,H,W]
 
         # GRU iterations as a single-trace lax.scan (nn.scan): 22/32 unrolled
@@ -290,7 +290,7 @@ class IGEV(nn.Module):
                           name="spx_2")(xspx, stem_2x, train=train)
             spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
                                    dtype=self.dtype, name="spx")(xspx)
-            spx = nn.softmax(spx.astype(jnp.float32), axis=-1)
+            spx = nn.softmax(spx.astype(head_dtype(self.dtype)), axis=-1)
             out["init_disp"] = context_upsample(init_disp * 4.0, spx)
             out["disp_preds"] = disp_preds
         return out

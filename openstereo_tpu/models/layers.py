@@ -26,6 +26,15 @@ from flax import linen as nn
 Dtype = Any
 
 
+
+
+def head_dtype(dtype) -> Dtype:
+    """Dtype for softmax/regression heads: at least f32 (bf16 compute is
+    upcast for numerically sensitive reductions), but follows wider module
+    dtypes (f64 parity tests)."""
+    return jnp.promote_types(jnp.float32, dtype)
+
+
 def leaky_relu(negative_slope: float = 0.01) -> Callable:
     return partial(nn.leaky_relu, negative_slope=negative_slope)
 
@@ -67,14 +76,17 @@ class ConvBlock(nn.Module):
         padding = self.padding
         if isinstance(padding, int):
             padding = [(padding, padding)] * self.ndim
+        if padding == "SAME":
+            # torch-style symmetric padding p = d·(k-1)/2.  XLA's SAME pads
+            # asymmetrically ((0,1)) for stride-2 convs, which shifts the
+            # output half a pixel relative to every reference model — use the
+            # torch convention so converted checkpoints match exactly
+            # (validated in tests/test_reference_parity.py)
+            padding = [(d * (k - 1) // 2,) * 2 for k, d in zip(ks, dil)]
 
-        if self.pad_mode == "replicate" and padding not in ("VALID",):
+        if self.pad_mode == "replicate" and padding != "VALID":
             # explicit edge-pad then VALID conv
-            if padding == "SAME":
-                pads = [((k - 1) // 2, k // 2) for k in ks]
-            else:
-                pads = list(padding)
-            x = jnp.pad(x, [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)], mode="edge")
+            x = jnp.pad(x, [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)], mode="edge")
             padding = "VALID"
 
         x = nn.Conv(
@@ -91,9 +103,14 @@ class ConvBlock(nn.Module):
 class DeconvBlock(nn.Module):
     """Transposed conv + optional norm + act.
 
-    Reference BasicDeconv2d(k=4, s=2, p=1) and ConvTranspose(k=3, s=2, p=1,
-    output_padding=1) both double the spatial dims; flax ConvTranspose with
-    stride 2 and SAME padding reproduces that output shape.
+    The reference uses two spatial-doubling deconvs: ConvTranspose(k=4, s=2,
+    p=1) and ConvTranspose(k=3, s=2, p=1, output_padding=1).  Both produce
+    out = 2·in, but their output pixel alignment differs; the flax paddings
+    that reproduce torch's values exactly (validated in
+    tests/test_layer_parity.py) are SAME for even k and ((k-2, k-1), ...)
+    for odd k.  Weight conversion from torch additionally mirrors the kernel
+    spatially (torch's deconv is gradient-of-conv; flax's default is a
+    fractionally-strided conv) — see utils/torch_convert.deconv_kernel.
     """
 
     features: int
@@ -109,8 +126,10 @@ class DeconvBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         ks = _pair(self.kernel_size, self.ndim)
         st = _pair(self.strides, self.ndim)
+        padding = "SAME" if ks[0] % 2 == 0 else tuple(
+            (k - 2, k - 1) for k in ks)
         x = nn.ConvTranspose(
-            self.features, ks, strides=st, padding="SAME",
+            self.features, ks, strides=st, padding=padding,
             use_bias=self.use_bias, dtype=self.dtype, name="deconv",
         )(x)
         x = apply_norm(self, x, train)
@@ -148,7 +167,13 @@ def apply_norm(mod: nn.Module, x, train: bool):
 
 
 class MobileV2Residual3D(nn.Module):
-    """3D inverted residual (reference: msnet/submodule.py:136-173), NDHWC."""
+    """3D inverted "residual" (reference: msnet/submodule.py:135-173), NDHWC.
+
+    NOTE: the reference checks ``stride == (1, 1, 1)`` while every caller
+    passes an int (MSNet3D.py:16-33,64-69), so its residual connection is
+    NEVER taken.  We reproduce that behavior exactly — checkpoint and
+    training parity depend on it — hence no skip connection here.
+    """
 
     features: int
     strides: int = 1
@@ -159,7 +184,7 @@ class MobileV2Residual3D(nn.Module):
     def __call__(self, x, *, train: bool = False):
         inp = x.shape[-1]
         hidden = round(inp * self.expanse_ratio)
-        use_res = self.strides == 1 and inp == self.features
+        use_res = False
         y = ConvBlock(hidden, 1, norm="batch", act=relu6, ndim=3,
                       dtype=self.dtype, name="pw")(x, train=train)
         y = ConvBlock(hidden, 3, strides=self.strides, groups=hidden, norm="batch",

@@ -25,7 +25,7 @@ from flax import linen as nn
 from ...ops import correlation_volume, disparity_regression, context_upsample, resize_bilinear
 from ...registry import MODELS
 from ..backbones import MobileNetV2Features
-from ..layers import ConvBlock, DeconvBlock, MobileV2Residual, leaky_relu
+from ..layers import ConvBlock, DeconvBlock, MobileV2Residual, leaky_relu, head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -179,7 +179,7 @@ class LightStereo(nn.Module):
             dtype=self.dtype, name="cost_agg",
         )(volume, feats_l, train=train)
 
-        prob = nn.softmax(volume.astype(jnp.float32), axis=-1)
+        prob = nn.softmax(volume.astype(head_dtype(self.dtype)), axis=-1)
         init_disp = disparity_regression(prob, d4)  # [B,H/4,W/4]
 
         # superpixel weights (reference lightstereo.py:30-42,58-62)
@@ -193,7 +193,7 @@ class LightStereo(nn.Module):
                           name="stem2b")(stem2, train=train)
         xspx = FPNLayer(16, dtype=self.dtype, name="refine2")(xspx, stem2, train=train)
         xspx = DeconvBlock(9, 4, 2, dtype=self.dtype, name="refine3")(xspx, train=train)
-        spx_pred = nn.softmax(xspx.astype(jnp.float32), axis=-1)  # [B,H,W,9]
+        spx_pred = nn.softmax(xspx.astype(head_dtype(self.dtype)), axis=-1)  # [B,H,W,9]
 
         disp_pred = context_upsample(init_disp * 4.0, spx_pred)  # [B,H,W]
         out = {"disp_pred": disp_pred}

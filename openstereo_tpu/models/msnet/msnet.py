@@ -32,6 +32,7 @@ from ..layers import (
     MobileV1Residual,
     MobileV2Residual,
     MobileV2Residual3D,
+    head_dtype,
 )
 from ..losses import disp_valid_mask, masked_smooth_l1
 
@@ -152,7 +153,7 @@ class MSNet3D(nn.Module):
             return ConvBlock(1, 3, ndim=3, dtype=self.dtype, name=f"{name}b")(x, train=train)
 
         def regress(cost):
-            cost = cost[..., 0].astype(jnp.float32)
+            cost = cost[..., 0].astype(head_dtype(self.dtype))
             cost = jax.image.resize(cost, (b, self.max_disp, h, w), method="trilinear")
             return disparity_regression(nn.softmax(cost, axis=1), self.max_disp, axis=1)
 
@@ -183,14 +184,27 @@ class InterlacedCompressor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, interleaved, *, train: bool = False):
-        # interleaved: [N, H, W, 64] → depth axis [N, 64, H, W, 1]
-        x = jnp.transpose(interleaved, (0, 3, 1, 2))[..., None]
+    def __call__(self, interleaved, col_valid=None, *, train: bool = False):
+        """interleaved: [N, H, W, 64]; col_valid: [N, W] bool column validity.
+
+        The reference runs each shift on a width-CROPPED slice, so every conv
+        stage sees zero padding at the crop boundary.  With the full-width
+        batched formulation the invalid columns must be re-zeroed after every
+        stage (bias/BN make them nonzero), or the boundary column diverges
+        (reference MSNet2D.py:146-156).
+        """
+        if col_valid is not None:
+            interleaved = jnp.where(
+                col_valid[:, None, :, None], interleaved, 0.0)
+        x = jnp.transpose(interleaved, (0, 3, 1, 2))[..., None]  # [N,64,H,W,1]
+        m3 = None if col_valid is None else col_valid[:, None, None, :, None]
         for f, k, name in ((16, 8, "c0"), (32, 4, "c1"), (16, 2, "c2")):
             x = ConvBlock(f, (k, 3, 3), strides=(k, 1, 1),
                           padding=[(0, 0), (1, 1), (1, 1)], use_bias=True,
                           norm="batch", act=nn.relu, ndim=3, dtype=self.dtype,
                           name=name)(x, train=train)
+            if m3 is not None:
+                x = jnp.where(m3, x, 0.0)
         x = x[:, 0]  # [N, H, W, 16]
         return ConvBlock(1, 1, norm="batch", act=nn.relu, dtype=self.dtype,
                          name="volume11")(x, train=train)[..., 0]
@@ -229,15 +243,19 @@ class MSNet2D(nn.Module):
         bsz, h4, w4, c = featL.shape
         d4 = self.max_disp // 4
 
-        # interlace all shifts, batch through the shared compressor in one pass
+        # interlace all shifts, batch through the shared compressor in one
+        # pass; per-shift column validity (col >= d) reproduces the
+        # reference's width-cropped per-shift computation exactly
         shifts = []
         for d in range(d4):
             r_shift = featR if d == 0 else jnp.pad(featR[:, :, :-d], ((0, 0), (0, 0), (d, 0), (0, 0)))
             inter = jnp.stack([featL, r_shift], axis=-1).reshape(bsz, h4, w4, 2 * c)
             shifts.append(inter)
         stacked = jnp.concatenate(shifts, axis=0)  # [D*B, H, W, 64]
+        col_valid = (jnp.arange(w4)[None, :]
+                     >= jnp.repeat(jnp.arange(d4), bsz)[:, None])  # [D*B, W]
         planes = InterlacedCompressor(dtype=self.dtype, name="compressor")(
-            stacked, train=train)  # [D*B, H, W]
+            stacked, col_valid, train=train)  # [D*B, H, W]
         volume = planes.reshape(d4, bsz, h4, w4)
         # zero out-of-frame entries (reference writes only [..., i:])
         wi = jnp.arange(w4)[None, None, None, :]
@@ -266,7 +284,7 @@ class MSNet2D(nn.Module):
             return ConvBlock(c2, 3, dtype=self.dtype, name=f"{name}b")(x, train=train)
 
         def regress(cost):
-            cost = jnp.transpose(cost, (0, 3, 1, 2)).astype(jnp.float32)  # [B,D,H/4,W/4]
+            cost = jnp.transpose(cost, (0, 3, 1, 2)).astype(head_dtype(self.dtype))  # [B,D,H/4,W/4]
             cost = jax.image.resize(cost, (b, self.max_disp, h, w), method="trilinear")
             return disparity_regression(nn.softmax(cost, axis=1), self.max_disp, axis=1)
 

@@ -24,7 +24,7 @@ from flax import linen as nn
 from ...ops import build_concat_volume, disparity_regression, resize_linear_align_corners
 from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock
+from ..layers import ConvBlock, DeconvBlock, head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -174,7 +174,7 @@ class PSMNet(nn.Module):
         h, w = data["left"].shape[1], data["left"].shape[2]
 
         def regress(cost):
-            cost = cost[..., 0].astype(jnp.float32)  # [B, D/4, H/4, W/4]
+            cost = cost[..., 0].astype(head_dtype(self.dtype))  # [B, D/4, H/4, W/4]
             cost = resize_linear_align_corners(cost, (self.max_disp, h, w), axes=(1, 2, 3))
             prob = nn.softmax(cost, axis=1)
             return disparity_regression(prob, self.max_disp, axis=1)  # [B,H,W]

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import resize_bilinear
-from ..layers import ConvBlock
+from ..layers import ConvBlock, head_dtype
 
 
 class TVBasicBlockIN(nn.Module):
@@ -184,7 +184,7 @@ class WNConv(nn.Module):
                        (k, k, x.shape[-1], self.features))
         g = self.param("g", nn.initializers.ones, (self.features,))
         b = self.param("b", nn.initializers.zeros, (self.features,))
-        norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1, 2)) + 1e-12)
+        norm = jnp.sqrt(jnp.sum(v.astype(head_dtype(self.dtype)) ** 2, axis=(0, 1, 2)) + 1e-12)
         w = (v * (g / norm)).astype(self.dtype)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), w, (1, 1), "SAME",

@@ -56,7 +56,7 @@ def optimal_transport(attn: jnp.ndarray, phi: jnp.ndarray, iters: int = 10) -> j
     attn: [N,H,W,W] raw similarities → [N,H,W+1,W+1] transport plan ×2W.
     """
     n, h, w, _ = attn.shape
-    attn = attn.astype(jnp.float32)
+    attn = attn.astype(head_dtype(self.dtype))
     sim = jnp.concatenate([attn, jnp.broadcast_to(phi, (n, h, w, 1))], axis=-1)
     row = jnp.broadcast_to(phi, (n, h, 1, w + 1))
     sim = jnp.concatenate([sim, row], axis=-2)
@@ -209,7 +209,7 @@ class STTR(nn.Module):
 
         losses = {}
         # rr loss: -log response at GT + dustbin responses in occluded regions
-        valid_s = (~invalid_s).astype(jnp.float32)
+        valid_s = (~invalid_s).astype(head_dtype(self.dtype))
         rr_sum = jnp.sum(-jnp.log(pred["gt_response"] + _EPS) * valid_s)
         rr_cnt = jnp.sum(valid_s)
         if "gt_response_occ_left" in pred and "occ_mask" in data:

@@ -85,7 +85,7 @@ class MultiheadAttentionRelative(nn.Module):
             attn = attn + attn_mask[None, None]
 
         raw_attn = jnp.sum(attn, axis=1)  # [B,W,Wk] summed over heads
-        p = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        p = nn.softmax(attn.astype(head_dtype(self.dtype)), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhwv,bvhc->bwhc", p, v).reshape(b, w, e)
         out = nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
         return out, raw_attn

@@ -101,6 +101,16 @@ class Trainer:
         self.state = self._init_state()
         self.start_epoch = 0
 
+        # reference MODEL.PRETRAINED_MODEL: shape-checked partial weight load
+        # (trainer_template.py:86-94); accepts converted .msgpack or raw
+        # reference .pth (auto-converted by model name)
+        pretrained = cfg.MODEL.get("PRETRAINED_MODEL", "")
+        if pretrained:
+            from .pretrained import load_variables
+
+            self.load_pretrained(
+                load_variables(pretrained, cfg.MODEL.get("NAME")))
+
         # checkpointing
         import orbax.checkpoint as ocp
 
@@ -318,23 +328,25 @@ class Trainer:
         self.logger.info(f"resumed from epoch {epoch}")
         return self.start_epoch
 
-    def load_pretrained(self, params) -> None:
-        """Shape-checked partial load (reference common_utils.py:142-180)."""
-        flat_new = jax.tree_util.tree_flatten_with_path(params)[0]
-        cur, treedef = jax.tree_util.tree_flatten_with_path(self.state.params)
-        cur_map = {jax.tree_util.keystr(k): v for k, v in cur}
-        loaded, skipped = 0, 0
-        for key, val in flat_new:
-            ks = jax.tree_util.keystr(key)
-            if ks in cur_map and cur_map[ks].shape == val.shape:
-                cur_map[ks] = val
-                loaded += 1
-            else:
-                skipped += 1
-        new_leaves = [cur_map[jax.tree_util.keystr(k)] for k, _ in cur]
-        self.state = self.state.replace(
-            params=jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(self.state.params), new_leaves))
+    def load_pretrained(self, variables_or_params) -> None:
+        """Shape-checked partial load (reference common_utils.py:142-180).
+
+        Accepts either a bare params tree or a full {'params','batch_stats'}
+        tree (e.g. from tools/convert_ckpt.py); BN statistics are merged too
+        when present, since eval parity depends on them.
+        """
+        from .pretrained import partial_load
+
+        tree = variables_or_params
+        if "params" not in tree:
+            tree = {"params": tree}
+        params, loaded, skipped = partial_load(self.state.params, tree["params"])
+        updates = {"params": params}
+        if tree.get("batch_stats") and self.state.batch_stats:
+            bs, l2, s2 = partial_load(self.state.batch_stats, tree["batch_stats"])
+            updates["batch_stats"] = bs
+            loaded, skipped = loaded + l2, skipped + s2
+        self.state = self.state.replace(**updates)
         self.logger.info(f"pretrained load: {loaded} tensors, {skipped} skipped")
 
     # ------------------------------------------------------------- misc

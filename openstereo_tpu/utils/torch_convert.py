@@ -1,0 +1,341 @@
+"""Reference (torch) checkpoint → openstereo_tpu variables.
+
+The reference trains with PyTorch and publishes ``.pth`` checkpoints
+(saved as ``{'model_state': state_dict, ...}`` — reference
+stereo/utils/common_utils.py:96-111).  This module converts those
+state_dicts into this framework's flax variable trees so a reference user
+can bring trained weights across.
+
+Layout rules (validated numerically in tests/test_layer_parity.py and
+tests/test_reference_parity.py):
+
+- Conv2d   (out,in,kh,kw)        → flax Conv kernel (kh,kw,in,out)
+- Conv3d   (out,in,kd,kh,kw)     → (kd,kh,kw,in,out)
+- Depthwise Conv2d (out,1,kh,kw) → (kh,kw,1,out) (same transpose; in=1)
+- ConvTranspose2d (in,out,kh,kw) → (kh,kw,in,out) **spatially flipped**
+  (torch's deconv is the gradient-of-conv; flax ConvTranspose with
+  transpose_kernel=False is a fractionally-strided conv, so the kernel
+  must be mirrored)
+- ConvTranspose3d (in,out,kd,kh,kw) → (kd,kh,kw,in,out) spatially flipped
+- Linear (out,in) → Dense kernel (in,out)
+- BatchNorm weight/bias/running_mean/running_var → bn scale/bias +
+  batch_stats mean/var
+- A conv *bias* feeding directly into a BatchNorm (e.g. the PSMNet
+  backbone's downsample convs, reference psmnet_backbone.py) is folded
+  into the BN running mean (``mean' = mean - bias``): exact in eval mode
+  and a no-op in train mode, so the flax side keeps bias-free convs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+__all__ = [
+    "CONVERTERS", "load_torch_state_dict", "convert", "TreeBuilder",
+    "conv_kernel", "deconv_kernel",
+]
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    w = np.asarray(w)
+    if w.ndim == 4:
+        return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+    if w.ndim == 5:
+        return np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0))
+    raise ValueError(f"conv kernel rank {w.ndim}")
+
+
+def deconv_kernel(w: np.ndarray) -> np.ndarray:
+    w = np.asarray(w)
+    if w.ndim == 4:
+        return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+    if w.ndim == 5:
+        return np.ascontiguousarray(w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1])
+    raise ValueError(f"deconv kernel rank {w.ndim}")
+
+
+def dense_kernel(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+class TreeBuilder:
+    """Accumulates flax variables from a flat torch state_dict."""
+
+    def __init__(self, state_dict: Dict[str, np.ndarray]):
+        self.sd = {k: np.asarray(v) for k, v in state_dict.items()
+                   if not k.endswith("num_batches_tracked")}
+        self.params: Dict = {}
+        self.batch_stats: Dict = {}
+        self.used = set()
+
+    # -- low level -------------------------------------------------------
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(f"torch key missing: {key}")
+        self.used.add(key)
+        return self.sd[key]
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def put(self, collection: str, path: str, value: np.ndarray):
+        tree = self.params if collection == "params" else self.batch_stats
+        parts = path.split("/")
+        for p in parts[:-1]:
+            tree = tree.setdefault(p, {})
+        if parts[-1] in tree:
+            raise ValueError(f"duplicate target {collection}/{path}")
+        tree[parts[-1]] = np.asarray(value)
+
+    # -- module-level helpers ---------------------------------------------
+    def conv(self, tkey: str, fpath: str, deconv: bool = False):
+        """tkey.weight (+ optional .bias) → fpath/{conv|deconv}/kernel[,bias]."""
+        sub = "deconv" if deconv else "conv"
+        xform = deconv_kernel if deconv else conv_kernel
+        self.put("params", f"{fpath}/{sub}/kernel", xform(self.take(f"{tkey}.weight")))
+        if self.has(f"{tkey}.bias"):
+            self.put("params", f"{fpath}/{sub}/bias", self.take(f"{tkey}.bias"))
+
+    def bn(self, tkey: str, fpath: str, fold_bias: np.ndarray | None = None):
+        self.put("params", f"{fpath}/bn/scale", self.take(f"{tkey}.weight"))
+        self.put("params", f"{fpath}/bn/bias", self.take(f"{tkey}.bias"))
+        mean = self.take(f"{tkey}.running_mean")
+        if fold_bias is not None:
+            mean = mean - fold_bias
+        self.put("batch_stats", f"{fpath}/bn/mean", mean)
+        self.put("batch_stats", f"{fpath}/bn/var", self.take(f"{tkey}.running_var"))
+
+    def convbn(self, tprefix: str, fpath: str, deconv: bool = False,
+               conv_idx: int = 0, bn_idx: int = 1):
+        """Sequential(conv, bn) → ConvBlock/DeconvBlock at fpath.
+
+        A conv bias (if present) is folded into the BN running mean.
+        """
+        sub = "deconv" if deconv else "conv"
+        xform = deconv_kernel if deconv else conv_kernel
+        self.put("params", f"{fpath}/{sub}/kernel",
+                 xform(self.take(f"{tprefix}.{conv_idx}.weight")))
+        fold = None
+        if self.has(f"{tprefix}.{conv_idx}.bias"):
+            fold = self.take(f"{tprefix}.{conv_idx}.bias")
+        self.bn(f"{tprefix}.{bn_idx}", fpath, fold_bias=fold)
+
+    def dense(self, tkey: str, fpath: str):
+        self.put("params", f"{fpath}/kernel", dense_kernel(self.take(f"{tkey}.weight")))
+        if self.has(f"{tkey}.bias"):
+            self.put("params", f"{fpath}/bias", self.take(f"{tkey}.bias"))
+
+    # -- finish ------------------------------------------------------------
+    def finish(self, allow_unused: tuple = ()) -> Dict:
+        unused = [k for k in self.sd if k not in self.used
+                  and not any(k.startswith(p) for p in allow_unused)]
+        if unused:
+            raise ValueError(f"{len(unused)} torch keys not consumed, e.g. {unused[:8]}")
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+# =========================================================================
+# PSMNet (reference stereo/modeling/models/psmnet/)
+# =========================================================================
+
+def _psm_backbone(b: TreeBuilder, tpre: str = "Backbone", fpre: str = "backbone"):
+    """SPP backbone (reference psmnet_backbone.py:7-121) — shared by PSMNet;
+    GwcNet uses the same topology with its own names."""
+    for i in range(3):
+        b.convbn(f"{tpre}.firstconv.{i}", f"{fpre}/firstconv{i}")
+    for layer, n in (("layer1", 3), ("layer2", 16), ("layer3", 3), ("layer4", 3)):
+        for i in range(n):
+            for conv in ("conv1", "conv2"):
+                b.convbn(f"{tpre}.{layer}.{i}.{conv}", f"{fpre}/{layer}_{i}/{conv}")
+            if b.has(f"{tpre}.{layer}.{i}.downsample.0.weight"):
+                b.convbn(f"{tpre}.{layer}.{i}.downsample", f"{fpre}/{layer}_{i}/downsample")
+    # reference branch1..4 pool 64,32,16,8 → ours branch0..3 pool 64,32,16,8
+    for k in range(1, 5):
+        b.convbn(f"{tpre}.branch{k}.1", f"{fpre}/branch{k - 1}")
+    b.convbn(f"{tpre}.lastconv.0", f"{fpre}/lastconv0")
+    b.conv(f"{tpre}.lastconv.1", f"{fpre}/lastconv1")
+
+
+def _psm_hourglass(b: TreeBuilder, tpre: str, fpre: str):
+    """3D hourglass (reference psmnet_cost_processor.py:54-132)."""
+    for i in (1, 2, 3, 4):
+        b.convbn(f"{tpre}.conv{i}", f"{fpre}/conv{i}")
+    for i in (5, 6):
+        b.convbn(f"{tpre}.conv{i}", f"{fpre}/conv{i}", deconv=True)
+
+
+def convert_psmnet(sd: Dict[str, np.ndarray]) -> Dict:
+    b = TreeBuilder(sd)
+    _psm_backbone(b)
+    agg = "CostProcessor.aggregator"
+    b.convbn(f"{agg}.dres0.0", "dres0a")
+    b.convbn(f"{agg}.dres0.1", "dres0b")
+    b.convbn(f"{agg}.dres1.0", "dres1a")
+    b.convbn(f"{agg}.dres1.1", "dres1b")
+    for t, f in (("dres2", "dres2"), ("dres3", "dres3"), ("dres4", "dres4")):
+        _psm_hourglass(b, f"{agg}.{t}", f)
+    for j in (1, 2, 3):
+        b.convbn(f"{agg}.classif{j}.0", f"classif{j}a")
+        b.conv(f"{agg}.classif{j}.1", f"classif{j}b")
+    # DispProcessor.disp_regression holds a fixed arange(D) conv — not a
+    # learned weight (reference psmnet_disp_processor.py:46-49)
+    return b.finish(allow_unused=("DispProcessor.",))
+
+
+# =========================================================================
+# GwcNet (reference stereo/modeling/models/gwcnet/)
+# =========================================================================
+
+def convert_gwcnet(sd: Dict[str, np.ndarray]) -> Dict:
+    b = TreeBuilder(sd)
+    bb = "Backbone.feature_extraction"
+    # firstconv = Sequential(convbn, ReLU, convbn, ReLU, convbn, ReLU)
+    for i, t in enumerate((0, 2, 4)):
+        b.convbn(f"{bb}.firstconv.{t}", f"backbone/firstconv{i}")
+    for layer, n in (("layer1", 3), ("layer2", 16), ("layer3", 3), ("layer4", 3)):
+        for i in range(n):
+            # conv1 = Sequential(convbn, ReLU); conv2 = bare convbn
+            b.convbn(f"{bb}.{layer}.{i}.conv1.0", f"backbone/{layer}_{i}/conv1")
+            b.convbn(f"{bb}.{layer}.{i}.conv2", f"backbone/{layer}_{i}/conv2")
+            if b.has(f"{bb}.{layer}.{i}.downsample.0.weight"):
+                b.convbn(f"{bb}.{layer}.{i}.downsample", f"backbone/{layer}_{i}/downsample")
+    if b.has(f"{bb}.lastconv.0.0.weight"):
+        b.convbn(f"{bb}.lastconv.0", "backbone/lastconv0")
+        b.conv(f"{bb}.lastconv.2", "backbone/lastconv1")
+
+    dp = "DispProcessor"
+    # dres0 = Seq(convbn_3d, ReLU, convbn_3d, ReLU); dres1 drops the last ReLU
+    b.convbn(f"{dp}.dres0.0", "dres0a")
+    b.convbn(f"{dp}.dres0.2", "dres0b")
+    b.convbn(f"{dp}.dres1.0", "dres1a")
+    b.convbn(f"{dp}.dres1.2", "dres1b")
+    for hg in ("dres2", "dres3", "dres4"):
+        for i in (1, 2, 3, 4):
+            b.convbn(f"{dp}.{hg}.conv{i}.0", f"{hg}/conv{i}")
+        for i in (5, 6):
+            b.convbn(f"{dp}.{hg}.conv{i}", f"{hg}/conv{i}", deconv=True)
+        for r in ("redir1", "redir2"):
+            b.convbn(f"{dp}.{hg}.{r}", f"{hg}/{r}")
+    for j in (0, 1, 2, 3):
+        b.convbn(f"{dp}.classif{j}.0", f"classif{j}a")
+        b.conv(f"{dp}.classif{j}.2", f"classif{j}b")
+    return b.finish()
+
+
+# =========================================================================
+# MSNet 2D/3D (reference stereo/modeling/models/msnet/)
+# =========================================================================
+
+def _mv2(b: TreeBuilder, tpre: str, fpath: str):
+    """MobileV2Residual: torch Sequential indices (0,1)=pw, (3,4)=dw,
+    (6,7)=pw_linear."""
+    for (ci, bi), sub in (((0, 1), "pw"), ((3, 4), "dw"), ((6, 7), "pw_linear")):
+        b.put("params", f"{fpath}/{sub}/conv/kernel",
+              conv_kernel(b.take(f"{tpre}.{ci}.weight")))
+        b.bn(f"{tpre}.{bi}", f"{fpath}/{sub}")
+
+
+def _mv1(b: TreeBuilder, tpre: str, fpath: str):
+    """MobileV1Residual: conv1/conv2 = Seq(dw conv,bn,relu6, pw conv,bn);
+    optional downsample convbn (reference msnet/submodule.py:45-91)."""
+    for conv in ("conv1", "conv2"):
+        for (ci, bi), sub in (((0, 1), f"{conv}_dw"), ((3, 4), f"{conv}_pw")):
+            b.put("params", f"{fpath}/{sub}/conv/kernel",
+                  conv_kernel(b.take(f"{tpre}.{conv}.{ci}.weight")))
+            b.bn(f"{tpre}.{conv}.{bi}", f"{fpath}/{sub}")
+    if b.has(f"{tpre}.downsample.0.weight"):
+        b.convbn(f"{tpre}.downsample", f"{fpath}/downsample")
+
+
+def _mobile_trunk(b: TreeBuilder, tpre: str, fpre: str, add_relus: bool = False):
+    """MSNet feature trunk (reference msnet/submodule.py:183-234).
+    With add_relus (MSNet2D) the stem interleaves nn.ReLU modules, shifting
+    the Sequential indices to 0,2,4."""
+    stem = (0, 2, 4) if add_relus else (0, 1, 2)
+    for i, t in enumerate(stem):
+        _mv2(b, f"{tpre}.firstconv.{t}.conv", f"{fpre}/firstconv{i}")
+    for layer, n in (("layer1", 3), ("layer2", 16), ("layer3", 3), ("layer4", 3)):
+        for i in range(n):
+            _mv1(b, f"{tpre}.{layer}.{i}", f"{fpre}/{layer}_{i}")
+
+
+def _mobile_hourglass(b: TreeBuilder, tpre: str, fpre: str):
+    """MobileV2-residual hourglass, 2D or 3D (reference MSNet3D.py:10-46)."""
+    for name in ("conv1", "conv2", "conv3", "conv4", "redir1", "redir2"):
+        _mv2(b, f"{tpre}.{name}.conv", f"{fpre}/{name}")
+    for name in ("conv5", "conv6"):
+        b.convbn(f"{tpre}.{name}", f"{fpre}/{name}", deconv=True)
+
+
+def convert_msnet2d(sd: Dict[str, np.ndarray]) -> Dict:
+    b = TreeBuilder(sd)
+    _mobile_trunk(b, "feature_extraction", "trunk", add_relus=True)
+    # preconv11 = Seq(convbn,relu, convbn,relu, convbn,relu, Conv2d(bias))
+    for i, t in enumerate((0, 2, 4)):
+        b.convbn(f"preconv11.{t}", f"preconv{i}")
+    b.put("params", "preconv3/kernel", conv_kernel(b.take("preconv11.6.weight")))
+    b.put("params", "preconv3/bias", b.take("preconv11.6.bias"))
+    # interlaced compressor: conv3d = Seq((conv3d+bias, bn, relu) ×3)
+    for i, t in enumerate((0, 3, 6)):
+        b.conv(f"conv3d.{t}", f"compressor/c{i}")
+        b.bn(f"conv3d.{t + 1}", f"compressor/c{i}")
+    b.convbn("volume11.0", "compressor/volume11")
+    # dres0 = Seq(mv2, ReLU, mv2, ReLU); dres1 = Seq(mv2, ReLU, mv2)
+    for t, f in (("dres0.0", "dres0a"), ("dres0.2", "dres0b"),
+                 ("dres1.0", "dres1a"), ("dres1.2", "dres1b")):
+        _mv2(b, f"{t}.conv", f)
+    for i in (1, 2, 3):
+        _mobile_hourglass(b, f"encoder_decoder{i}", f"hg{i}")
+    for j in (0, 1, 2, 3):
+        b.convbn(f"classif{j}.0", f"classif{j}a")
+        b.conv(f"classif{j}.2", f"classif{j}b")
+    return b.finish()
+
+
+def convert_msnet3d(sd: Dict[str, np.ndarray]) -> Dict:
+    b = TreeBuilder(sd)
+    _mobile_trunk(b, "feature_extraction", "trunk")
+    for t, f in (("dres0.0", "dres0a"), ("dres0.1", "dres0b"),
+                 ("dres1.0", "dres1a"), ("dres1.1", "dres1b")):
+        _mv2(b, f"{t}.conv", f)
+    for i in (1, 2, 3):
+        _mobile_hourglass(b, f"encoder_decoder{i}", f"hg{i}")
+    for j in (0, 1, 2, 3):
+        b.convbn(f"classif{j}.0", f"classif{j}a")
+        b.conv(f"classif{j}.2", f"classif{j}b")
+    return b.finish()
+
+
+# =========================================================================
+# registry
+# =========================================================================
+
+CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
+    "PSMNet": convert_psmnet,
+    "GwcNet": convert_gwcnet,
+    "MSNet3D": convert_msnet3d,
+    "MSNet2D": convert_msnet2d,
+}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth checkpoint → flat numpy state_dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state" in obj:
+        obj = obj["model_state"]
+    out = {}
+    for k, v in obj.items():
+        k = k.removeprefix("module.")
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def convert(model_name: str, state_dict: Dict[str, np.ndarray]) -> Dict:
+    if model_name not in CONVERTERS:
+        raise KeyError(
+            f"no converter for {model_name!r}; available: {sorted(CONVERTERS)}")
+    return CONVERTERS[model_name](state_dict)

@@ -66,18 +66,62 @@ def test_convblock_instancenorm_matches_torch():
     np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4)
 
 
-def test_deconv_output_shape_matches_torch():
-    """ConvTranspose k4 s2 p1 (reference BasicDeconv2d) must double H,W."""
+def test_deconv_k4s2_matches_torch():
+    """ConvTranspose k4 s2 p1 (reference BasicDeconv2d) — values, not just
+    shape, with the torch_convert weight rule (transpose + spatial mirror)."""
+    from openstereo_tpu.utils.torch_convert import deconv_kernel
+
     rng = np.random.RandomState(2)
     x = rng.randn(1, 4, 5, 7).astype(np.float32)
     tdeconv = tnn.ConvTranspose2d(4, 6, 4, stride=2, padding=1, bias=False)
     with torch.no_grad():
-        exp_shape = tdeconv(torch.from_numpy(x)).shape
+        exp = tdeconv(torch.from_numpy(x)).numpy()
 
     blk = DeconvBlock(6, 4, 2)
-    variables = blk.init(jax.random.key(0), _to_nhwc(x), train=False)
-    got = blk.apply(variables, _to_nhwc(x), train=False)
-    assert got.shape == (1, exp_shape[2], exp_shape[3], 6)
+    variables = {"params": {"deconv": {
+        "kernel": jnp.asarray(deconv_kernel(tdeconv.weight.detach().numpy()))}}}
+    got = np.asarray(blk.apply(variables, _to_nhwc(x), train=False))
+    np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_deconv_k3s2_matches_torch():
+    """ConvTranspose k3 s2 p1 op1 (reference hourglass deconvs) — torch's
+    pixel alignment needs flax padding ((1,2),(1,2)), not SAME."""
+    from openstereo_tpu.utils.torch_convert import deconv_kernel
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 4, 5, 7).astype(np.float32)
+    tdeconv = tnn.ConvTranspose2d(4, 6, 3, stride=2, padding=1,
+                                  output_padding=1, bias=False)
+    with torch.no_grad():
+        exp = tdeconv(torch.from_numpy(x)).numpy()
+
+    blk = DeconvBlock(6, 3, 2)
+    variables = {"params": {"deconv": {
+        "kernel": jnp.asarray(deconv_kernel(tdeconv.weight.detach().numpy()))}}}
+    got = np.asarray(blk.apply(variables, _to_nhwc(x), train=False))
+    assert got.shape == (1, 10, 14, 6)
+    np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_deconv3d_k3s2_matches_torch():
+    """ConvTranspose3d k3 s2 p1 op1 (reference psmnet_cost_processor.py:101)."""
+    from openstereo_tpu.utils.torch_convert import deconv_kernel
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 4, 4, 5, 6).astype(np.float32)  # NCDHW
+    tdeconv = tnn.ConvTranspose3d(4, 6, 3, stride=2, padding=1,
+                                  output_padding=1, bias=False)
+    with torch.no_grad():
+        exp = tdeconv(torch.from_numpy(x)).numpy()
+
+    blk = DeconvBlock(6, 3, 2, ndim=3)
+    variables = {"params": {"deconv": {
+        "kernel": jnp.asarray(deconv_kernel(tdeconv.weight.detach().numpy()))}}}
+    got = np.asarray(blk.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                               train=False))
+    np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 4, 1),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_depthwise_conv_matches_torch():

@@ -20,6 +20,9 @@ def main():
     p.add_argument("--right_img_path", required=True)
     p.add_argument("--ckpt_dir", default=None, help="run dir containing ckpt/")
     p.add_argument("--ckpt", type=int, default=None)
+    p.add_argument("--pretrained", default=None,
+                   help="converted .msgpack (tools/convert_ckpt.py) or "
+                        "reference .pth weights")
     p.add_argument("--out", default="disp_pred.png")
     p.add_argument("--colored", action="store_true")
     args = p.parse_args()
@@ -57,6 +60,17 @@ def main():
              "batch_stats": variables.get("batch_stats", {})}))
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
+    elif args.pretrained:
+        from openstereo_tpu.runtime.pretrained import load_variables, partial_load
+
+        new = load_variables(args.pretrained, cfg.MODEL.get("NAME"))
+        params, loaded, _ = partial_load(variables["params"], new["params"])
+        variables = dict(variables, params=params)
+        if new.get("batch_stats") and variables.get("batch_stats"):
+            bs, l2, _ = partial_load(variables["batch_stats"], new["batch_stats"])
+            variables = dict(variables, batch_stats=bs)
+            loaded += l2
+        print(f"loaded {loaded} tensors from {args.pretrained}")
 
     out = jax.jit(lambda b: model.apply(variables, b, train=False))(batch)
     disp = np.asarray(out["disp_pred"][0], np.float32)
