@@ -16,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 H, W = 544, 960
@@ -26,9 +27,10 @@ def main():
 
     model = LightStereo(max_disp=192, aggregation_blocks=(1, 2, 4),
                         expanse_ratio=4, left_att=True, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
     data = {
-        "left": jnp.zeros((1, H, W, 3), jnp.float32),
-        "right": jnp.zeros((1, H, W, 3), jnp.float32),
+        "left": jnp.asarray(rng.rand(1, H, W, 3), jnp.float32),
+        "right": jnp.asarray(rng.rand(1, H, W, 3), jnp.float32),
     }
     variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=False))(data)
 
@@ -36,10 +38,12 @@ def main():
     def forward(batch):
         return model.apply(variables, batch, train=False)["disp_pred"]
 
-    # warm-up (incl. compile)
+    # warm-up (incl. compile); np.asarray forces a full device round-trip —
+    # on remote-attached TPUs block_until_ready can return before the first
+    # execution has actually finished
     for _ in range(10):
         out = forward(data)
-    jax.block_until_ready(out)
+    np.asarray(out)
 
     reps = 100
     t0 = time.perf_counter()

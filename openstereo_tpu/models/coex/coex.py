@@ -29,6 +29,7 @@ from ...ops import context_upsample, correlation_volume, resize_bilinear
 from ...registry import MODELS
 from ..backbones import MobileNetV2Features
 from ..igev.blocks import BasicConvBN, Conv2x, FeatureAtt
+from ..layers import head_dtype
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 

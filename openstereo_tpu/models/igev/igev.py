@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from ...ops import build_gwc_volume, context_upsample, disparity_regression
 from ...registry import MODELS
+from ..layers import head_dtype
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from .blocks import (
     BasicConvBN,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import MODELS
+from ..layers import head_dtype
 from ..losses import masked_mean, smooth_l1
 from .blocks import ContextAdjustmentLayer, SppBackboneIN, Tokenizer
 from .transformer import Transformer
@@ -56,7 +57,7 @@ def optimal_transport(attn: jnp.ndarray, phi: jnp.ndarray, iters: int = 10) -> j
     attn: [N,H,W,W] raw similarities → [N,H,W+1,W+1] transport plan ×2W.
     """
     n, h, w, _ = attn.shape
-    attn = attn.astype(head_dtype(self.dtype))
+    attn = attn.astype(head_dtype(attn.dtype))
     sim = jnp.concatenate([attn, jnp.broadcast_to(phi, (n, h, w, 1))], axis=-1)
     row = jnp.broadcast_to(phi, (n, h, 1, w + 1))
     sim = jnp.concatenate([sim, row], axis=-2)

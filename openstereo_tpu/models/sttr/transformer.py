@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..layers import head_dtype
+
 
 def sine_pos_encoding(w: int, channels: int, scale: float = 1.0) -> jnp.ndarray:
     """Relative 1D sine table [2W-1, C] (reference pos_encoder.py:29-60).

@@ -57,9 +57,10 @@ def main():
         cls_name, kwargs, (h, w) = ZOO[name]
         try:
             model = MODELS.get(cls_name)(max_disp=192, dtype=jnp.bfloat16, **kwargs)
+            rng = np.random.RandomState(0)
             data = {
-                "left": jnp.zeros((1, h, w, 3), jnp.float32),
-                "right": jnp.zeros((1, h, w, 3), jnp.float32),
+                "left": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
+                "right": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
             }
             t0 = time.perf_counter()
             variables = jax.jit(
@@ -67,7 +68,10 @@ def main():
             n_params = sum(int(np.prod(x.shape))
                            for x in jax.tree.leaves(variables["params"]))
             fwd = jax.jit(lambda b: model.apply(variables, b, train=False)["disp_pred"])
-            out = jax.block_until_ready(fwd(data))
+            # force a full device round-trip: on remote-attached TPUs
+            # block_until_ready can return before the first execution has
+            # actually finished; np.asarray is the reliable barrier
+            np.asarray(fwd(data))
             compile_s = time.perf_counter() - t0
             # min over rep-groups: single-shot timings through the dispatch
             # tunnel carry ±0.5 ms noise

@@ -53,7 +53,9 @@ def main():
 
     for _ in range(10):
         out = fwd(data)
-    jax.block_until_ready(out)
+    # full device round-trip: on remote-attached TPUs block_until_ready can
+    # return before the first execution actually finished
+    np.asarray(out)
     if args.profile:
         with jax.profiler.trace(args.profile):
             for _ in range(5):
