@@ -8,7 +8,13 @@ The reference exports TorchScript/ONNX/TensorRT/OpenVINO/CoreML/Paddle
   `jax.export.deserialize`) — the ONNX-equivalent interchange artifact;
 - **aot**: lowers AND compiles for the attached TPU, reporting FLOPs and
   memory from XLA's cost analysis (the dry-run + checker step,
-  reference export.py:159-161,357-363).
+  reference export.py:159-161,357-363);
+- **bundle**: a self-contained serving artifact for the native C++ PJRT
+  runtime (`deploy/cpp/`) — the TPU analogue of the reference's TensorRT
+  engine build (reference export.py:198-247 feeding deploy/cpp/main.cpp):
+  raw StableHLO module bytecode (weights embedded as constants), serialized
+  XLA CompileOptionsProto, and a meta.json carrying input shapes and the
+  EVALUATING transform pipeline for the C++ preprocessor.
 
 Usage:
     python deploy/export.py --cfg_file cfgs/lightstereo/lightstereo_s_sceneflow.yaml \
@@ -30,7 +36,7 @@ def main():
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--ckpt", type=int, default=None)
     p.add_argument("--format", nargs="+", default=["stablehlo", "aot"],
-                   choices=["stablehlo", "aot"])
+                   choices=["stablehlo", "aot", "bundle"])
     p.add_argument("--out_dir", default="deploy/exported")
     p.add_argument("--f32", action="store_true")
     args = p.parse_args()
@@ -83,6 +89,43 @@ def main():
         out = back.call(data)
         assert out.shape == (args.batch, h, w), out.shape
         print("stablehlo round-trip OK")
+
+    if "bundle" in args.format:
+        import json
+
+        from jax import export as jexport
+        from jax._src.lib import xla_client as xc
+
+        # Positional (left, right) signature pins the PJRT argument order;
+        # weights are baked into the module as constants — the artifact is
+        # self-contained like a TensorRT engine.
+        fwd_pos = jax.jit(lambda left, right: model.apply(
+            variables, {"left": left, "right": right}, train=False)["disp_pred"])
+        exported = jexport.export(fwd_pos)(data["left"], data["right"])
+
+        bundle_dir = os.path.join(args.out_dir, f"{name}_{h}x{w}_bundle")
+        os.makedirs(bundle_dir, exist_ok=True)
+        with open(os.path.join(bundle_dir, "module.mlir.bc"), "wb") as f:
+            f.write(exported.mlir_module_serialized)
+        with open(os.path.join(bundle_dir, "compile_options.pb"), "wb") as f:
+            f.write(xc.CompileOptions().SerializeAsString())
+        transforms = [dict(t) for t in
+                      cfg.DATA_CONFIG.DATA_TRANSFORM.get("EVALUATING", [])]
+        meta = {
+            "model": cfg.MODEL.NAME,
+            "batch": args.batch,
+            "input_h": h,
+            "input_w": w,
+            "inputs": ["left", "right"],
+            "input_dtype": "f32",
+            "output": "disp_pred",
+            "output_shape": [args.batch, h, w],
+            "transforms": transforms,
+        }
+        with open(os.path.join(bundle_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        size = os.path.getsize(os.path.join(bundle_dir, "module.mlir.bc"))
+        print(f"bundle: {bundle_dir} (module {size/1e6:.1f} MB)")
 
     if "aot" in args.format:
         compiled = fwd.lower(data).compile()
