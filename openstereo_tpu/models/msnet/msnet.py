@@ -105,11 +105,14 @@ class Hourglass3DMobile(nn.Module):
         conv2 = mv2(c * 2, 1, "conv2")(conv1, train=train)
         conv3 = mv2(c * 4, 2, "conv3")(conv2, train=train)
         conv4 = mv2(c * 4, 1, "conv4")(conv3, train=train)
-        up5 = DeconvBlock(c * 2, 3, 2, norm="batch", ndim=3, dtype=self.dtype,
-                          name="conv5")(conv4, train=train)
+        # impl3d="native": these deconvs sit between MobileV2Residual3D
+        # stacks whose convs use XLA's native NDHWC layout — the tap-merged
+        # path would relayout at each boundary (measured 89 ms vs 81 ms)
+        up5 = DeconvBlock(c * 2, 3, 2, norm="batch", ndim=3, impl3d="native",
+                          dtype=self.dtype, name="conv5")(conv4, train=train)
         conv5 = nn.relu(up5 + mv2(c * 2, 1, "redir2")(conv2, train=train))
-        up6 = DeconvBlock(c, 3, 2, norm="batch", ndim=3, dtype=self.dtype,
-                          name="conv6")(conv5, train=train)
+        up6 = DeconvBlock(c, 3, 2, norm="batch", ndim=3, impl3d="native",
+                          dtype=self.dtype, name="conv6")(conv5, train=train)
         return nn.relu(up6 + mv2(c, 1, "redir1")(x, train=train))
 
 

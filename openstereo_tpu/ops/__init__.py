@@ -16,3 +16,4 @@ from .upsample import (  # noqa: F401
     resize_linear_align_corners,
 )
 from .sampler import bilinear_sampler, disp_warp, sample_along_w  # noqa: F401
+from .conv3d import conv3d_tap_merged, Conv3DTapMerged  # noqa: F401

@@ -67,7 +67,11 @@ def main():
                 lambda b: model.init(jax.random.key(0), b, train=False))(data)
             n_params = sum(int(np.prod(x.shape))
                            for x in jax.tree.leaves(variables["params"]))
-            fwd = jax.jit(lambda b: model.apply(variables, b, train=False)["disp_pred"])
+            # variables as an argument, not a closure: closed-over arrays
+            # inline as HLO literals, blowing the compile payload for big
+            # models (FADNet's 124M params → HTTP 413 on remote compile)
+            fwd_v = jax.jit(lambda v, b: model.apply(v, b, train=False)["disp_pred"])
+            fwd = lambda b: fwd_v(variables, b)  # noqa: E731
             # force a full device round-trip: on remote-attached TPUs
             # block_until_ready can return before the first execution has
             # actually finished; np.asarray is the reliable barrier
