@@ -20,6 +20,8 @@ training, like the reference.
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Dict
 
 import jax
@@ -153,7 +155,13 @@ class STTR(nn.Module):
         else:
             scale = 1.0
 
+        # fused Pallas attention on TPU at inference (forward-only kernel);
+        # training and other backends use the differentiable einsum path
+        use_pallas = (not train
+                      and jax.default_backend() in ("tpu", "axon")
+                      and os.environ.get("OPENSTEREO_STTR_PALLAS", "1") == "1")
         attn_raw = Transformer(self.channel_dim, self.nheads, self.num_attn_layers,
+                               use_pallas=use_pallas,
                                dtype=self.dtype, name="transformer")(
             feat_left, feat_right, pos_scale=scale)  # [N,H',W',W']
 

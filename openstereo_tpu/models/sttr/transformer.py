@@ -50,14 +50,25 @@ def rel_pos_matrix(pos_table: jnp.ndarray, w: int) -> jnp.ndarray:
 
 class MultiheadAttentionRelative(nn.Module):
     """Multi-head attention with relative-position terms
-    (reference attention.py:10-139). Inputs [B, W, C]."""
+    (reference attention.py:10-139). Inputs [B, W, C].
+
+    Two equivalent compute paths:
+    - use_pallas=True (inference on TPU): the fused Pallas kernel
+      (ops/pallas/rel_attention.py) — MXU contractions + hardware-shear
+      relative alignment + softmax + p·v in one pass over each epipolar
+      line. Forward-only (no custom VJP yet).
+    - otherwise: the reference einsum decomposition against the gathered
+      [W, W, C] relative matrix (differentiable, any backend).
+    """
 
     embed_dim: int
     num_heads: int
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, pos_matrix=None, attn_mask=None):
+    def __call__(self, query, key, value, pos_table=None, attn_mask=None,
+                 masked_last: bool = False, need_raw: bool = True):
         e, nh = self.embed_dim, self.num_heads
         hd = e // nh
         q_proj = nn.Dense(e, dtype=self.dtype, name="q_proj")
@@ -70,12 +81,25 @@ class MultiheadAttentionRelative(nn.Module):
         b, w, _ = q.shape
         wk = k.shape[1]
         scaling = hd ** -0.5
+
+        if self.use_pallas and pos_table is not None and w == wk and w % 8 == 0:
+            from ...ops.pallas.rel_attention import rel_attention
+
+            ke = k_proj(pos_table)
+            qe = q_proj(pos_table) * scaling
+            out, raw_attn = rel_attention(q * scaling, k, v, ke, qe, nh,
+                                          masked=masked_last,
+                                          need_raw=need_raw)
+            out = nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+            return out, raw_attn
+
         q = (q * scaling).reshape(b, w, nh, hd)
         k = k.reshape(b, wk, nh, hd)
         v = v.reshape(b, wk, nh, hd)
 
         attn = jnp.einsum("bwhc,bvhc->bhwv", q, k)
-        if pos_matrix is not None:
+        if pos_table is not None:
+            pos_matrix = rel_pos_matrix(pos_table, w)
             # q_r/k_r share the q/k projections applied to the pos matrix
             # (reference attention.py:66-78)
             q_r = (q_proj(pos_matrix) * scaling).reshape(w, wk, nh, hd)
@@ -83,6 +107,8 @@ class MultiheadAttentionRelative(nn.Module):
             attn = attn + jnp.einsum("bwhc,wvhc->bhwv", q, k_r)
             attn = attn + jnp.einsum("bvhc,wvhc->bhwv", k, q_r)
 
+        if masked_last:
+            attn_mask = jnp.triu(jnp.full((w, w), -jnp.inf, jnp.float32), k=1)
         if attn_mask is not None:
             attn = attn + attn_mask[None, None]
 
@@ -96,14 +122,16 @@ class MultiheadAttentionRelative(nn.Module):
 class SelfAttnLayer(nn.Module):
     hidden_dim: int
     nhead: int
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, pos_matrix):
+    def __call__(self, feat, pos_table):
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(feat)
         y, _ = MultiheadAttentionRelative(self.hidden_dim, self.nhead,
+                                          use_pallas=self.use_pallas,
                                           dtype=self.dtype, name="self_attn")(
-            y, y, y, pos_matrix=pos_matrix)
+            y, y, y, pos_table=pos_table, need_raw=False)
         return feat + y
 
 
@@ -113,28 +141,27 @@ class CrossAttnLayer(nn.Module):
 
     hidden_dim: int
     nhead: int
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat_left, feat_right, pos_matrix, pos_matrix_flipped,
+    def __call__(self, feat_left, feat_right, pos_table, pos_table_flipped,
                  last_layer: bool):
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         attn = MultiheadAttentionRelative(self.hidden_dim, self.nhead,
+                                          use_pallas=self.use_pallas,
                                           dtype=self.dtype, name="cross_attn")
         left2 = norm1(feat_left)
         right2 = norm1(feat_right)
 
-        upd_right, _ = attn(right2, left2, left2, pos_matrix=pos_matrix_flipped)
+        upd_right, _ = attn(right2, left2, left2,
+                            pos_table=pos_table_flipped, need_raw=False)
         feat_right = feat_right + upd_right
 
-        if last_layer:
-            w = feat_left.shape[1]
-            mask = jnp.triu(jnp.full((w, w), -jnp.inf, jnp.float32), k=1)
-        else:
-            mask = None
         right2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(feat_right)
-        upd_left, raw_attn = attn(left2, right2, right2, pos_matrix=pos_matrix,
-                                  attn_mask=mask)
+        upd_left, raw_attn = attn(left2, right2, right2, pos_table=pos_table,
+                                  masked_last=last_layer,
+                                  need_raw=last_layer)
         feat_left = feat_left + upd_left
         return feat_left, feat_right, raw_attn
 
@@ -147,6 +174,7 @@ class Transformer(nn.Module):
     nhead: int = 8
     num_attn_layers: int = 6
     remat: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -157,8 +185,7 @@ class Transformer(nn.Module):
         fr = feat_right.reshape(n * h, w, c)
 
         pos_table = sine_pos_encoding(w, c, pos_scale).astype(self.dtype)
-        pos_m = rel_pos_matrix(pos_table, w)
-        pos_m_flipped = rel_pos_matrix(pos_table[::-1], w)
+        pos_table_flipped = pos_table[::-1]
 
         SelfL = nn.remat(SelfAttnLayer) if self.remat else SelfAttnLayer
         CrossL = nn.remat(CrossAttnLayer, static_argnums=(5,)) if self.remat \
@@ -168,11 +195,13 @@ class Transformer(nn.Module):
         for i in range(self.num_attn_layers):
             # self-attention runs on left and right concatenated along batch
             feat = jnp.concatenate([fl, fr], axis=0)
-            feat = SelfL(self.hidden_dim, self.nhead, dtype=self.dtype,
-                         name=f"self_{i}")(feat, pos_m)
+            feat = SelfL(self.hidden_dim, self.nhead, use_pallas=self.use_pallas,
+                         dtype=self.dtype, name=f"self_{i}")(feat, pos_table)
             fl, fr = feat[: n * h], feat[n * h :]
-            fl, fr, raw_attn = CrossL(self.hidden_dim, self.nhead, dtype=self.dtype,
+            fl, fr, raw_attn = CrossL(self.hidden_dim, self.nhead,
+                                      use_pallas=self.use_pallas, dtype=self.dtype,
                                       name=f"cross_{i}")(
-                fl, fr, pos_m, pos_m_flipped, i == self.num_attn_layers - 1)
+                fl, fr, pos_table, pos_table_flipped,
+                i == self.num_attn_layers - 1)
 
         return raw_attn.reshape(n, h, w, w)
