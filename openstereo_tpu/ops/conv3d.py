@@ -40,14 +40,15 @@ def conv3d_tap_merged(
     x: [B, D, H, W, Cin]; kernel: [KD, KH, KW, Cin//groups, Cout]
     (flax nn.Conv layout). Returns [B, Do, Ho, Wo, Cout].
 
-    Depth handling by case, all at exact FLOPs:
+    Depth handling by case, all at exact FLOPs (policy measured on-chip,
+    see docs/BENCHMARKS.md):
+    - kd == 1 (pointwise-in-depth): native — already a pure contraction;
     - non-overlapping depth windows (sd == kd, no depth pad): depth block
       folds into input channels — one conv2d with KD·Cin inputs;
-    - otherwise: input depths are split into sd residue classes; class ρ
-      needs only the taps t ≡ ρ (mod sd), each class runs one conv2d with
-      its taps merged into output channels, and the partial products are
-      combined by static strided-slice adds. sd == 1 degenerates to the
-      single tap-merged conv2d.
+    - sd == 1 dense: one conv2d with the KD taps merged into output
+      channels + static shift-adds over depth (the winning case);
+    - strided-overlapping depth (sd > 1, sd != kd): native — the residue
+      split costs more than the channel widening buys.
     """
     b, d, h, w, cin = x.shape
     kd, kh, kw, cin_g, cout = kernel.shape
@@ -93,41 +94,30 @@ def conv3d_tap_merged(
             rhs_dilation=(dd, dh, dw_), feature_group_count=groups,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
+    # sd == 1 tap-merged path
     cout_g = cout // groups
-    y = None
-    for rho in range(sd):
-        d0 = (rho - pd0) % sd
-        if d0 >= d:
+    xb = x.reshape(b * d, h, w, cin)
+    # out channels group-major for feature_group_count: (G, taps, CG)
+    wk = kernel.reshape(kd, kh, kw, cin_g, groups, cout_g)
+    wk = wk.transpose(1, 2, 3, 4, 0, 5).reshape(
+        kh, kw, cin_g, groups * kd * cout_g)
+    o = conv2d(xb, wk)
+    ho, wo = o.shape[1], o.shape[2]
+    if groups == 1:
+        o = o.reshape(b, d, ho, wo, kd, cout)
+    else:
+        # conv output channels are (G, KD, CG)-ordered; COUT is (G, CG)
+        o = o.reshape(b, d, ho, wo, groups, kd, cout_g)
+        o = o.transpose(0, 1, 2, 3, 5, 4, 6).reshape(b, d, ho, wo, kd, cout)
+    y = jnp.zeros((b, do, ho, wo, cout), o.dtype)
+    for t in range(kd):
+        # input depth j feeds output od = j + pd0 - t·dd
+        c = pd0 - t * dd
+        j_lo = max(0, -c)
+        j_hi = min(d - 1, do - 1 - c)
+        if j_lo > j_hi:
             continue
-        taps = [t for t in range(kd) if (t - rho) % sd == 0]
-        if not taps:
-            continue
-        xs = x[:, d0::sd] if sd > 1 else x
-        dr = xs.shape[1]
-        xb = xs.reshape(b * dr, h, w, cin)
-        # out channels group-major for feature_group_count: (G, taps, CG)
-        wsel = jnp.stack([kernel[t] for t in taps], axis=0)  # [T,kh,kw,cin_g,cout]
-        wk = wsel.reshape(len(taps), kh, kw, cin_g, groups, cout_g)
-        wk = wk.transpose(1, 2, 3, 4, 0, 5).reshape(
-            kh, kw, cin_g, groups * len(taps) * cout_g)
-        o = conv2d(xb, wk)
-        ho, wo = o.shape[1], o.shape[2]
-        if groups == 1:
-            o = o.reshape(b, dr, ho, wo, len(taps), cout)
-        else:
-            o = o.reshape(b, dr, ho, wo, groups, len(taps), cout_g)
-            o = o.transpose(0, 1, 2, 3, 5, 4, 6).reshape(
-                b, dr, ho, wo, len(taps), cout)
-        if y is None:
-            y = jnp.zeros((b, do, ho, wo, cout), o.dtype)
-        for i, t in enumerate(taps):
-            # input depth d0+sd·j feeds output od = (d0 + pd0 - t·dd)//sd + j
-            c = (d0 + pd0 - t * dd) // sd
-            j_lo = max(0, -c)
-            j_hi = min(dr - 1, do - 1 - c)
-            if j_lo > j_hi:
-                continue
-            y = y.at[:, c + j_lo:c + j_hi + 1].add(o[:, j_lo:j_hi + 1, :, :, i])
+        y = y.at[:, c + j_lo:c + j_hi + 1].add(o[:, j_lo:j_hi + 1, :, :, t])
     return y
 
 
