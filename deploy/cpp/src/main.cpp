@@ -88,6 +88,12 @@ Pipeline resolve_pipeline(const JsonValue& meta, int img_h, int img_w) {
       cur_h = p.th;
       cur_w = p.tw;
     } else if (name == "DivisiblePad") {
+      // Only the default top/right mode is implemented here; the Python
+      // transform also supports MODE: round (centered padding), which this
+      // preprocessing path would silently mis-align with.
+      if (t.has("MODE") && t.at("MODE").str != "tr")
+        throw std::runtime_error("unsupported DivisiblePad MODE: " +
+                                 t.at("MODE").str);
       const int by = t.at("BY").as_int();
       p.th = (cur_h + by - 1) / by * by;
       p.tw = (cur_w + by - 1) / by * by;

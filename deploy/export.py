@@ -94,7 +94,14 @@ def main():
         import json
 
         from jax import export as jexport
-        from jax._src.lib import xla_client as xc
+
+        try:
+            from jax.lib import xla_client as xc  # public alias
+        except ImportError as e:  # pragma: no cover - depends on jax version
+            raise SystemExit(
+                "bundle export needs jax.lib.xla_client (for the "
+                "CompileOptionsProto); this jax build does not expose it: "
+                f"{e}") from e
 
         # Positional (left, right) signature pins the PJRT argument order;
         # weights are baked into the module as constants — the artifact is

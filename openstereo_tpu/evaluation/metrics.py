@@ -53,3 +53,29 @@ def compute_metrics(disp_pred: jnp.ndarray, disp_gt: jnp.ndarray, mask: jnp.ndar
                     names=("epe", "d1_all", "thres_1", "thres_2", "thres_3")):
     """Per-image metric dict {name: [B]} (reference trainer_template.py:250-286)."""
     return {name: METRIC_FNS[name](disp_pred, disp_gt, mask) for name in names}
+
+
+# --------------------------------------------------------------------------
+# Scalar (whole-batch) variants — every valid pixel in the batch weighted
+# equally, rather than per-image means (reference: stereo/evaluation/
+# metric.py:4-30, the utility counterpart of metric_per_image.py).
+
+def _masked_batch_mean(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(value.dtype)
+    denom = jnp.sum(m)
+    return jnp.where(denom > 0, jnp.sum(value * m) / jnp.maximum(denom, 1.0), 0.0)
+
+
+def epe_metric_scalar(disp_pred, disp_gt, mask) -> jnp.ndarray:
+    return _masked_batch_mean(jnp.abs(disp_pred - disp_gt), mask)
+
+
+def d1_metric_scalar(disp_pred, disp_gt, mask) -> jnp.ndarray:
+    err = jnp.abs(disp_pred - disp_gt)
+    bad = (err > 3.0) & (err > 0.05 * jnp.abs(disp_gt))
+    return _masked_batch_mean(bad.astype(disp_pred.dtype), mask) * 100.0
+
+
+def threshold_metric_scalar(disp_pred, disp_gt, mask, threshold: float) -> jnp.ndarray:
+    bad = jnp.abs(disp_pred - disp_gt) > threshold
+    return _masked_batch_mean(bad.astype(disp_pred.dtype), mask) * 100.0

@@ -28,11 +28,18 @@ from ..ops.conv3d import Conv3DTapMerged, ConvTranspose3DTapMerged
 Dtype = Any
 
 # escape hatches: force XLA's native 3D (de)conv lowerings
-# (OPENSTEREO_CONV3D=native / OPENSTEREO_DECONV3D=native)
+# (OPENSTEREO_CONV3D=native / OPENSTEREO_DECONV3D=native). Read at call
+# time — trace-time only, so the per-call os.environ.get is free and the
+# vars can be set after import (tests, notebooks).
 import os as _os
 
-_CONV3D_IMPL = _os.environ.get("OPENSTEREO_CONV3D", "tap")
-_DECONV3D_IMPL = _os.environ.get("OPENSTEREO_DECONV3D", "tap")
+
+def _conv3d_impl() -> str:
+    return _os.environ.get("OPENSTEREO_CONV3D", "tap")
+
+
+def _deconv3d_impl() -> str:
+    return _os.environ.get("OPENSTEREO_DECONV3D", "tap")
 
 
 
@@ -98,7 +105,7 @@ class ConvBlock(nn.Module):
             x = jnp.pad(x, [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)], mode="edge")
             padding = "VALID"
 
-        if self.ndim == 3 and _CONV3D_IMPL != "native":
+        if self.ndim == 3 and _conv3d_impl() != "native":
             # XLA's native Conv3D walks D serially and underfills the MXU on
             # the narrow-channel cost volumes; the tap-merged lowering is
             # ~2.5× faster at identical FLOPs (see ops/conv3d.py). Parameter
@@ -152,7 +159,7 @@ class DeconvBlock(nn.Module):
         st = _pair(self.strides, self.ndim)
         padding = "SAME" if ks[0] % 2 == 0 else tuple(
             (k - 2, k - 1) for k in ks)
-        impl = self.impl3d or _DECONV3D_IMPL
+        impl = self.impl3d or _deconv3d_impl()
         if self.ndim == 3 and padding != "SAME" and impl != "native":
             # fold-D + tap-merged transposed conv — 1.46× vs XLA's native
             # ConvTranspose3D on the hourglass shapes (see ops/conv3d.py);

@@ -83,6 +83,15 @@ class MultiheadAttentionRelative(nn.Module):
         scaling = hd ** -0.5
 
         if self.use_pallas and pos_table is not None and w == wk and w % 8 == 0:
+            # The Pallas kernel only implements the masked_last causal mask
+            # (an explicit attn_mask would be silently ignored), and masks
+            # with a finite -1e30 instead of -inf — so masked raw_attn
+            # entries are large-negative-finite rather than -inf. Fine for
+            # the optimal_transport consumer; assert so future callers with
+            # a custom mask fall through loudly instead of silently.
+            assert attn_mask is None, (
+                "Pallas rel_attention does not support an explicit "
+                "attn_mask; pass use_pallas=False or use masked_last")
             from ...ops.pallas.rel_attention import rel_attention
 
             ke = k_proj(pos_table)

@@ -172,6 +172,12 @@ class Conv3DTapMerged(nn.Module):
 
     Parameter tree matches nn.Conv exactly (`kernel` [KD,KH,KW,Cin/G,Cout],
     optional `bias` [Cout]) so it is checkpoint- and converter-compatible.
+
+    Note: padding="SAME" resolves to torch-style *symmetric* padding
+    p = d*(k-1)//2 per dim (the convention every model in this repo uses),
+    which differs from flax nn.Conv's XLA SAME for even kernels or
+    stride>1 (XLA pads asymmetrically). Pass explicit pairs to get any
+    other convention.
     """
 
     features: int

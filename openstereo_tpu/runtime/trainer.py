@@ -206,6 +206,9 @@ class Trainer:
     def _build_eval_step(self):
         metric_names = self.metric_names
         max_disp = float(self.max_disp)
+        # reference trainer_template.py:277-278 — occluded pixels are only
+        # excluded when the evaluator opts in (Middlebury/ETH3D eval cfgs).
+        apply_occ = bool(self.cfg.EVALUATOR.get("APPLY_OCC_MASK", False))
 
         def eval_step(state: TrainState, batch):
             out = state.apply_fn(
@@ -214,7 +217,7 @@ class Trainer:
             disp_pred = out["disp_pred"]
             gt = batch["disp"]
             mask = disp_valid_mask(gt, max_disp)
-            if "occ_mask" in batch:  # reference trainer_template.py:276-278
+            if apply_occ and "occ_mask" in batch:
                 mask = mask & (batch["occ_mask"] < 0.5)
             return compute_metrics(disp_pred, gt, mask, metric_names), disp_pred
 

@@ -27,10 +27,16 @@ def test_bundle_meta_schema():
     for key in ["transforms", "input_h", "input_w", "model"]:
         assert f'"{key}"' in main_cpp, key
         assert f'"{key}"' in export_py, key
-    # Transform names the C++ dispatcher understands must cover every
-    # EVALUATING transform used by the shipped configs.
+    # Transform names AND options the C++ dispatcher understands must cover
+    # every EVALUATING transform used by the shipped *model* configs (the
+    # ones deploy/export.py can turn into bundles; eval-data override
+    # configs are Python-eval-only and may use e.g. DivisiblePad
+    # MODE: round, which the C++ path rejects at runtime).
     import yaml
 
+    assert 'has("MODE")' in main_cpp  # the C++ MODE guard exists
+    supported = {"RightTopPad", "DivisiblePad", "RightBottomCrop",
+                 "CropOrPad", "NormalizeImage"}
     cfg_root = os.path.join(REPO, "cfgs")
     eval_names = set()
     for dirpath, _, files in os.walk(cfg_root):
@@ -39,11 +45,13 @@ def test_bundle_meta_schema():
                 continue
             with open(os.path.join(dirpath, fn)) as f:
                 cfg = yaml.safe_load(f)
+            if "MODEL" not in (cfg or {}):
+                continue  # eval-data override config, never bundled
             tf = (cfg.get("DATA_CONFIG") or {}).get("DATA_TRANSFORM") or {}
             for t in tf.get("EVALUATING") or []:
                 eval_names.add(t["NAME"])
-    supported = {"RightTopPad", "DivisiblePad", "RightBottomCrop",
-                 "CropOrPad", "NormalizeImage"}
+                if t["NAME"] == "DivisiblePad":
+                    assert t.get("MODE", "tr") == "tr", (fn, t)
     assert eval_names <= supported, eval_names - supported
 
 
