@@ -41,6 +41,29 @@ from .optim import build_optimizer
 from .train_state import TrainState
 
 
+def _remat_policy(spec, logger):
+    """Resolve OPTIMIZATION.REMAT to a jax.checkpoint policy.
+
+    Accepts true/'full' (save nothing — maximum memory saving), or the name
+    of any `jax.checkpoint_policies` member ('dots_saveable' keeps MXU
+    outputs and recomputes the cheap elementwise/norm chains — usually the
+    right trade for the 3D-conv models). None/false disables remat.
+    """
+    if not spec:
+        return None
+    if spec is True or str(spec).lower() == "full":
+        logger.info("activation checkpointing enabled: full")
+        return jax.checkpoint_policies.nothing_saveable
+    name = str(spec)
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None:
+        raise ValueError(
+            f"unknown OPTIMIZATION.REMAT policy {name!r}; use true/'full' or "
+            "a jax.checkpoint_policies name like 'dots_saveable'")
+    logger.info(f"activation checkpointing enabled: {name}")
+    return policy
+
+
 def input_hw(data_cfg: Config, mode: str):
     """Static input shape from the transform pipeline's SIZE (crop or pad)."""
     for t in data_cfg.DATA_TRANSFORM[mode.upper()]:
@@ -181,9 +204,11 @@ class Trainer:
     def _build_train_step(self):
         model = self.model
         freeze_bn = self.freeze_bn
+        remat_policy = _remat_policy(
+            self.cfg.OPTIMIZATION.get("REMAT", None), self.logger)
 
         def train_step(state: TrainState, batch):
-            def loss_fn(params):
+            def forward(params, batch):
                 # FREEZE_BN (reference common_utils.py:114-139): calling apply
                 # without a mutable 'batch_stats' collection makes every
                 # BatchNorm use its running averages (see models/layers.py)
@@ -194,6 +219,17 @@ class Trainer:
                 loss, info = model.get_loss(out, batch)
                 new_bs = state.batch_stats if freeze_bn else mutated["batch_stats"]
                 return loss, (info, new_bs)
+
+            if remat_policy is not None:
+                # OPTIMIZATION.REMAT: rematerialize activations in the
+                # backward pass under the named XLA saveable-policy — the
+                # memory/compute trade the reference makes ad hoc with
+                # torch.utils.checkpoint (SURVEY.md §2.12), exposed as one
+                # config knob for the 3D-conv family's large cost volumes.
+                forward = jax.checkpoint(forward, policy=remat_policy)
+
+            def loss_fn(params):
+                return forward(params, batch)
 
             (loss, (info, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
@@ -228,7 +264,14 @@ class Trainer:
         assert self.train_loader is not None
         t_data = t_step = 0.0
         n = 0
-        log_int = int(self.cfg.get("TRAINER", {}).get("LOGGER_ITER_INTERVAL", 10))
+        trainer_cfg = self.cfg.get("TRAINER", {})
+        log_int = int(trainer_cfg.get("LOGGER_ITER_INTERVAL", 10))
+        # TRAIN_VISUALIZATION (reference trainer_template.py:239-245): log a
+        # colormapped gt/pred/error triptych for the first logged iteration of
+        # each epoch. Runs the (already-jitted) eval forward on the train
+        # batch — one extra forward per epoch, not per log interval.
+        visualize = bool(trainer_cfg.get("TRAIN_VISUALIZATION", False)) \
+            and self.tb is not None
         last_metrics = {}
         t0 = time.perf_counter()
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
@@ -250,6 +293,13 @@ class Trainer:
                     f"data {1e3*(t1-t0):.0f}ms step {1e3*(t2-t1):.0f}ms")
                 self._log_jsonl({"phase": "train", "epoch": epoch, "iter": i,
                                  "lr": lr, **last_metrics})
+                if visualize and i == 0 and self.process_index == 0:
+                    with jax.set_mesh(self.mesh):
+                        _, disp_pred = self._eval_step(self.state, batch)
+                    self.log_visualization(
+                        jax.device_get(disp_pred)[0],
+                        np.asarray(jax.device_get(batch["disp"]))[0],
+                        epoch, tag="train")
             t_data += t1 - t0
             n += 1
             t0 = time.perf_counter()

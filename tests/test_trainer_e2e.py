@@ -64,7 +64,7 @@ def run_cfg(tmp_path_factory):
                       "METRIC": ["epe", "d1_all", "thres_1"]},
         "TRAINER": {"EVAL_INTERVAL": 10, "CKPT_SAVE_INTERVAL": 10,
                     "MAX_CKPT_SAVE_NUM": 3, "LOGGER_ITER_INTERVAL": 1,
-                    "EVAL_VISUALIZATION": True},
+                    "EVAL_VISUALIZATION": True, "TRAIN_VISUALIZATION": True},
     })
     return cfg
 
@@ -96,6 +96,32 @@ def test_train_eval_ckpt_roundtrip(run_cfg, tmp_path):
     p1 = jax.tree.leaves(trainer.state.params)[0]
     p2 = jax.tree.leaves(trainer2.state.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_remat_policy(run_cfg, tmp_path):
+    """OPTIMIZATION.REMAT: training must produce the same step result with
+    activation checkpointing (gradients are exact, only recomputed)."""
+    import copy
+
+    mesh = make_mesh(data=8, model=1)
+    cfg = copy.deepcopy(run_cfg)
+    cfg.OPTIMIZATION.REMAT = "dots_saveable"
+    tr_remat = Trainer(cfg, str(tmp_path / "run_remat"), mesh=mesh, num_workers=1)
+    tr_plain = Trainer(run_cfg, str(tmp_path / "run_plain"), mesh=mesh,
+                       num_workers=1)
+    # same seed → identical init + identical batches
+    m_r = tr_remat.train_one_epoch(0)
+    m_p = tr_plain.train_one_epoch(0)
+    assert np.isfinite(m_r["loss"])
+    np.testing.assert_allclose(m_r["loss"], m_p["loss"], rtol=1e-5)
+    p_r = np.asarray(jax.device_get(jax.tree.leaves(tr_remat.state.params)[0]))
+    p_p = np.asarray(jax.device_get(jax.tree.leaves(tr_plain.state.params)[0]))
+    np.testing.assert_allclose(p_r, p_p, rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="REMAT"):
+        bad = copy.deepcopy(run_cfg)
+        bad.OPTIMIZATION.REMAT = "not_a_policy"
+        Trainer(bad, str(tmp_path / "run_bad"), mesh=mesh, num_workers=1)
 
 
 def test_freeze_bn(run_cfg, tmp_path):
