@@ -309,6 +309,46 @@ def convert_msnet3d(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 # =========================================================================
+# timm MobileNetV2-1.0 ImageNet backbone
+# =========================================================================
+
+def convert_timm_mobilenetv2(sd: Dict[str, np.ndarray]) -> Dict:
+    """timm `mobilenetv2_100` state_dict → `MobileNetV2Features` variables.
+
+    The reference initializes LightStereo/CoEx/IGEV trunks from timm's
+    ImageNet weights (reference: stereo/modeling/models/lightstereo/
+    backbone.py:33-36, igev/extractor.py:321-330); this converter lets the
+    same initialization be injected here via MODEL.PRETRAINED_MODEL after
+    nesting under the model's trunk path (tools/convert_ckpt.py --prefix:
+    LightStereo `backbone/trunk`, IGEV `feature/trunk`, CoEx `trunk`).
+
+    timm's classification head (conv_head/bn2/classifier) and the final
+    320-channel stage (blocks.6) sit past the last feature tap and are
+    dropped, exactly like timm features_only=True.
+    """
+    b = TreeBuilder(sd)
+    b.conv("conv_stem", "stem")
+    b.bn("bn1", "stem")
+    # stage 0: DepthwiseSeparableConv (expand_ratio 1 — no pw expansion)
+    b.conv("blocks.0.0.conv_dw", "stage0_block0/dw")
+    b.bn("blocks.0.0.bn1", "stage0_block0/dw")
+    b.conv("blocks.0.0.conv_pw", "stage0_block0/pw_linear")
+    b.bn("blocks.0.0.bn2", "stage0_block0/pw_linear")
+    # stages 1-5: InvertedResidual (pw → dw → pw_linear)
+    for si, n in ((1, 2), (2, 3), (3, 4), (4, 3), (5, 3)):
+        for bi in range(n):
+            t, f = f"blocks.{si}.{bi}", f"stage{si}_block{bi}"
+            b.conv(f"{t}.conv_pw", f"{f}/pw")
+            b.bn(f"{t}.bn1", f"{f}/pw")
+            b.conv(f"{t}.conv_dw", f"{f}/dw")
+            b.bn(f"{t}.bn2", f"{f}/dw")
+            b.conv(f"{t}.conv_pwl", f"{f}/pw_linear")
+            b.bn(f"{t}.bn3", f"{f}/pw_linear")
+    return b.finish(allow_unused=("blocks.6.", "conv_head", "bn2.",
+                                  "classifier"))
+
+
+# =========================================================================
 # registry
 # =========================================================================
 
@@ -317,7 +357,24 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "GwcNet": convert_gwcnet,
     "MSNet3D": convert_msnet3d,
     "MSNet2D": convert_msnet2d,
+    "TimmMobileNetV2": convert_timm_mobilenetv2,
 }
+
+
+def nest_tree(variables: Dict, prefix: str) -> Dict:
+    """Nest {'params','batch_stats'} collections under a path like
+    'backbone/trunk' so partial_load lands them at the right absolute
+    position in a full model tree."""
+    if not prefix:
+        return variables
+    out = {}
+    for coll, tree in variables.items():
+        if not tree:
+            continue
+        for part in reversed(prefix.strip("/").split("/")):
+            tree = {part: tree}
+        out[coll] = tree
+    return out
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
