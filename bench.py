@@ -8,6 +8,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference repo publishes no frames/s numbers (BASELINE.md), so
 vs_baseline is the speedup vs. the first recorded TPU run of this framework
 (rounds >1), or null on the first run.
+
+Round-2 protocol fix: the timing barrier is a host round-trip
+(np.asarray) instead of jax.block_until_ready, which through the
+remote-attached chip returns before execution completes (~15% optimistic
+for independent-execution streams, arbitrarily wrong for chained training
+steps). The stored baseline was rescaled once by the measured ratio of the
+two protocols on identical code so vs_baseline stays comparable.
 """
 
 import json
@@ -39,8 +46,11 @@ def main():
         return model.apply(variables, batch, train=False)["disp_pred"]
 
     # warm-up (incl. compile); np.asarray forces a full device round-trip —
-    # on remote-attached TPUs block_until_ready can return before the first
-    # execution has actually finished
+    # on remote-attached TPUs block_until_ready can return before the
+    # execution has actually finished (it reports buffer *definition*, not
+    # completion, through the tunnel), so it must never be the timing
+    # barrier. The device executes the queued forwards in order, so one
+    # asarray of the last output drains the whole pipeline.
     for _ in range(10):
         out = forward(data)
     np.asarray(out)
@@ -49,7 +59,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         out = forward(data)
-    jax.block_until_ready(out)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / reps
     fps = 1.0 / dt
 

@@ -130,19 +130,24 @@ def main():
             step = jax.jit(train_step, donate_argnums=(0,))
             for _ in range(args.warmup):
                 state, loss = step(state, batch)
-            jax.block_until_ready(loss)
-            # min over rep-groups (same protocol as tools/bench_zoo.py):
-            # single-shot timings through the remote dispatch tunnel are
-            # noisy; the min of per-group means is the stable signal
-            group = max(1, args.steps // 5)
-            times = []
-            for _ in range(5):
+            np.asarray(loss)
+
+            # Differential timing: successive steps are chained through the
+            # donated state, so a group of n steps costs n·step + one
+            # host-drain round-trip (np.asarray — NEVER block_until_ready,
+            # which returns before execution completes on remote-attached
+            # chips). Timing n and 3n steps and differencing cancels the
+            # round-trip, which through a tunnel can be ~100 ms.
+            def timed(k):
+                nonlocal state, loss
                 t0 = time.perf_counter()
-                for _ in range(group):
+                for _ in range(k):
                     state, loss = step(state, batch)
-                jax.block_until_ready(loss)
-                times.append((time.perf_counter() - t0) / group)
-            dt = min(times)
+                np.asarray(loss)
+                return time.perf_counter() - t0
+
+            g = max(1, args.steps // 3)
+            dt = min((timed(3 * g) - timed(g)) / (2 * g) for _ in range(2))
         results.append({"devices": n, "global_batch": gb,
                         "step_ms": round(1e3 * dt, 2),
                         "samples_per_s": round(gb / dt, 1)})

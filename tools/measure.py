@@ -65,7 +65,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.reps):
         out = fwd(data)
-    jax.block_until_ready(out)
+    # host round-trip as the barrier: block_until_ready returns early
+    # through the remote-attached chip (see docs/BENCHMARKS.md)
+    np.asarray(out)
     ms = (time.perf_counter() - t0) / args.reps * 1e3
 
     print(f"model: {cfg.MODEL.NAME}  params: {n_params/1e6:.2f}M  "
