@@ -74,7 +74,8 @@ class GwcHourglass(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
+        # (`train` is positional so nn.remat can mark it static)
         c = self.features
         conv1 = ConvBlock(c * 2, 3, strides=2, norm="batch", act=nn.relu, ndim=3,
                           dtype=self.dtype, name="conv1")(x, train=train)
@@ -107,6 +108,11 @@ class GwcNet(nn.Module):
     downsample: int = 4
     dtype: Any = jnp.float32
     head_weights: Sequence[float] = (0.5, 0.5, 0.7, 1.0)
+    # MODEL.REMAT: structural activation checkpointing — remat each 3D
+    # hourglass and each full-res regression head (see the PSMNet note in
+    # ../psmnet/psmnet.py for why whole-forward checkpointing doesn't move
+    # this family's peak)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
@@ -135,9 +141,12 @@ class GwcNet(nn.Module):
                         name="dres1b")(res, train=train)
         cost0 = res + cost0
 
-        out1 = GwcHourglass(c, dtype=self.dtype, name="dres2")(cost0, train=train)
-        out2 = GwcHourglass(c, dtype=self.dtype, name="dres3")(out1, train=train)
-        out3 = GwcHourglass(c, dtype=self.dtype, name="dres4")(out2, train=train)
+        # static_argnums: 0 is the module itself, 2 is the `train` bool
+        HG = nn.remat(GwcHourglass, static_argnums=(2,)) if self.remat \
+            else GwcHourglass
+        out1 = HG(c, dtype=self.dtype, name="dres2")(cost0, train)
+        out2 = HG(c, dtype=self.dtype, name="dres3")(out1, train)
+        out3 = HG(c, dtype=self.dtype, name="dres4")(out2, train)
 
         h, w = data["left"].shape[1], data["left"].shape[2]
         b = data["left"].shape[0]
@@ -153,6 +162,12 @@ class GwcNet(nn.Module):
             cost = jax.image.resize(cost, (b, self.max_disp, h, w), method="trilinear")
             prob = nn.softmax(cost, axis=1)
             return disparity_regression(prob, self.max_disp, axis=1)
+
+        if self.remat:
+            # recompute full-res cost/softmax in backward instead of keeping
+            # two [B,D,H,W] tensors per supervision head
+            regress = jax.checkpoint(
+                regress, policy=jax.checkpoint_policies.nothing_saveable)
 
         disp3 = regress(classify(out3, "classif3"))
         out = {"disp_pred": disp3}

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -103,7 +104,8 @@ class Hourglass3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, presqu=None, postsqu=None, *, train: bool = False):
+    def __call__(self, x, presqu=None, postsqu=None, train: bool = False):
+        # (`train` is positional so nn.remat can mark it static)
         c = self.features
         out = ConvBlock(c * 2, 3, strides=2, norm="batch", act=nn.relu, ndim=3,
                         dtype=self.dtype, name="conv1")(x, train=train)
@@ -131,6 +133,16 @@ class PSMNet(nn.Module):
     max_disp: int = 192
     dtype: Any = jnp.float32
     head_weights: Sequence[float] = (0.5, 0.7, 1.0)
+    # MODEL.REMAT: structural activation checkpointing. A whole-forward
+    # jax.checkpoint barely moves PSMNet's peak (the live set inside the
+    # hourglass chain and the three full-res regression heads IS the peak;
+    # and the align-corners resize lowers to banded matmuls, so
+    # 'dots_saveable' pins the ~400 MB upsampled cost tensors). Instead,
+    # remat each 3D hourglass and each regression head so backward walks
+    # them one at a time. Mirrors the memory role of the reference's
+    # torch.utils.checkpoint usage (SURVEY.md §2.12) — the reference never
+    # solved this for PSMNet (it simply trains at batch ≤ 4/GPU).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
@@ -152,14 +164,17 @@ class PSMNet(nn.Module):
                         name="dres1b")(res, train=train)
         cost0 = res + cost0
 
-        out1, pre1, post1 = Hourglass3D(c, dtype=self.dtype, name="dres2")(
-            cost0, None, None, train=train)
+        # static_argnums: 0 is the module itself, 4 is the `train` bool
+        HG = nn.remat(Hourglass3D, static_argnums=(4,)) if self.remat \
+            else Hourglass3D
+        out1, pre1, post1 = HG(c, dtype=self.dtype, name="dres2")(
+            cost0, None, None, train)
         out1 = out1 + cost0
-        out2, pre2, post2 = Hourglass3D(c, dtype=self.dtype, name="dres3")(
-            out1, pre1, post1, train=train)
+        out2, pre2, post2 = HG(c, dtype=self.dtype, name="dres3")(
+            out1, pre1, post1, train)
         out2 = out2 + cost0
-        out3, _, _ = Hourglass3D(c, dtype=self.dtype, name="dres4")(
-            out2, pre2, post2, train=train)
+        out3, _, _ = HG(c, dtype=self.dtype, name="dres4")(
+            out2, pre2, post2, train)
         out3 = out3 + cost0
 
         def classify(x, name):
@@ -178,6 +193,12 @@ class PSMNet(nn.Module):
             cost = resize_linear_align_corners(cost, (self.max_disp, h, w), axes=(1, 2, 3))
             prob = nn.softmax(cost, axis=1)
             return disparity_regression(prob, self.max_disp, axis=1)  # [B,H,W]
+
+        if self.remat:
+            # recompute the full-res cost/softmax from the small [B,D/4,H/4,
+            # W/4] input in backward instead of keeping 2×400 MB per head
+            regress = jax.checkpoint(
+                regress, policy=jax.checkpoint_policies.nothing_saveable)
 
         disp3 = regress(cost3)
         out = {"disp_pred": disp3}

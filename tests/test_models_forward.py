@@ -56,6 +56,34 @@ def test_gwcnet_forward():
     _check_model(model, _data(), aux_key="disp_preds", n_aux=4)
 
 
+def test_structural_remat_matches():
+    """MODEL.REMAT (PSMNet/GwcNet): gradients with hourglass/head remat must
+    equal the plain model's — checkpointing recomputes, never changes math."""
+    from openstereo_tpu.models.gwcnet import GwcNet
+    from openstereo_tpu.models.psmnet import PSMNet
+
+    data = _data()
+    for cls, kw in ((PSMNet, {}), (GwcNet, {"num_groups": 8,
+                                            "use_concat_volume": False})):
+        plain = cls(max_disp=16, remat=False, **kw)
+        remat = cls(max_disp=16, remat=True, **kw)
+        variables = jax.jit(
+            lambda b: plain.init(jax.random.key(0), b, train=True))(data)
+
+        def loss_fn(params, model):
+            o, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                data, train=True, mutable=["batch_stats"])
+            return model.get_loss(o, data)[0]
+
+        # identical param tree: remat must not change module structure
+        g_plain = jax.grad(loss_fn)(variables["params"], plain)
+        g_remat = jax.grad(loss_fn)(variables["params"], remat)
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+
+
 def test_gwcnet_gc_only():
     from openstereo_tpu.models.gwcnet import GwcNet
 
