@@ -26,7 +26,7 @@ from flax import linen as nn
 from ...ops import correlation_volume, disparity_regression, disp_warp, resize_bilinear
 from ...ops.deform_conv import modulated_deform_conv
 from ...registry import MODELS
-from ..layers import ConvBlock, leaky_relu, head_dtype
+from ..layers import ConvBlock, leaky_relu, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -283,8 +283,12 @@ class AANet(nn.Module):
 
         trunk = AANetFeature(not self.no_feature_mdconv, dtype=self.dtype, name="trunk")
         fpn = FPN(128, dtype=self.dtype, name="fpn")
-        feats_l = fpn(trunk(left, train=train), train=train)
-        feats_r = fpn(trunk(right, train=train), train=train)
+        extract = lambda x: fpn(trunk(x, train=train), train=train)  # noqa: E731
+        if train:
+            feats_l = extract(left)
+            feats_r = extract(right)
+        else:
+            feats_l, feats_r = siamese(extract, left, right)
 
         volumes = [correlation_volume(fl, fr, d3 // (2 ** s))
                    for s, (fl, fr) in enumerate(zip(feats_l, feats_r))]

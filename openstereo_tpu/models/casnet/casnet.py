@@ -31,7 +31,7 @@ from flax import linen as nn
 from ...ops import resize_bilinear, sample_along_w
 from ...registry import MODELS
 from ..gwcnet.gwcnet import GwcHourglass
-from ..layers import ConvBlock, head_dtype
+from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -318,8 +318,12 @@ class CasPSMNet(_CascadeBase):
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         feats = PSMCascadeFeatures(len(self.ndisps), dtype=self.dtype, name="features")
-        feats_l = feats(data["left"], train=train)
-        feats_r = feats(data["right"], train=train)
+        if train:
+            feats_l = feats(data["left"], train=True)
+            feats_r = feats(data["right"], train=True)
+        else:
+            feats_l, feats_r = siamese(lambda x: feats(x, train=False),
+                                       data["left"], data["right"])
 
         def build_volume(si, fl, fr, samples_s):
             return build_warped_concat_volume(fl, fr, samples_s)
@@ -336,8 +340,12 @@ class CasGwcNet(_CascadeBase):
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         feats = GwcCascadeFeatures(len(self.ndisps), dtype=self.dtype, name="features")
-        feats_l = feats(data["left"], train=train)
-        feats_r = feats(data["right"], train=train)
+        if train:
+            feats_l = feats(data["left"], train=True)
+            feats_r = feats(data["right"], train=True)
+        else:
+            feats_l, feats_r = siamese(lambda x: feats(x, train=False),
+                                       data["left"], data["right"])
 
         def build_volume(si, fl, fr, samples_s):
             gwc = build_warped_gwc_volume(fl[0], fr[0], samples_s, self.num_groups[si])

@@ -33,7 +33,7 @@ from ...ops import (
     sample_along_w,
 )
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock, head_dtype
+from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -193,8 +193,12 @@ class CFNet(nn.Module):
         left = data["left"]
         b, h, w = left.shape[0], left.shape[1], left.shape[2]
         feats = CFFeatures(self.concat_channels, dtype=self.dtype, name="features")
-        fl = feats(left, train=train)
-        fr = feats(data["right"], train=train)
+        if train:
+            fl = feats(left, train=True)
+            fr = feats(data["right"], train=True)
+        else:
+            fl, fr = siamese(lambda x: feats(x, train=False),
+                             left, data["right"])
 
         md = self.max_disp
         vol4 = jnp.concatenate([

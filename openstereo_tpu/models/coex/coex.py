@@ -29,7 +29,7 @@ from ...ops import context_upsample, correlation_volume, resize_bilinear
 from ...registry import MODELS
 from ..backbones import MobileNetV2Features
 from ..igev.blocks import BasicConvBN, Conv2x, FeatureAtt
-from ..layers import head_dtype
+from ..layers import head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -72,8 +72,12 @@ class CoExNet(nn.Module):
 
         trunk = MobileNetV2Features(dtype=self.dtype, name="trunk")
         up = FeatUp(dtype=self.dtype, name="up")
-        feats_l = up(trunk(left, train=train)[1:], train=train)
-        feats_r = up(trunk(right, train=train)[1:], train=train)
+        extract = lambda x: up(trunk(x, train=train)[1:], train=train)  # noqa: E731
+        if train:
+            feats_l = extract(left)
+            feats_r = extract(right)
+        else:
+            feats_l, feats_r = siamese(extract, left, right)
 
         sp0, sp1 = self.spixel_branch_channels
         stem_2a = BasicConvBN(sp0, 3, 2, dtype=self.dtype, name="stem_2a")

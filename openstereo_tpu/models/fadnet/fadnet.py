@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from ...ops import correlation_volume, disp_warp
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock, leaky_relu
+from ..layers import ConvBlock, DeconvBlock, leaky_relu, siamese
 from ..losses import masked_smooth_l1
 
 
@@ -147,12 +147,16 @@ class FADNet(nn.Module):
         conv2 = FadResBlock(e * 2, 2, dtype=self.dtype, name="conv2")
         conv3 = FadResBlock(e * 4, 2, dtype=self.dtype, name="conv3")
 
-        c1l = conv1(left, train=train)
-        c2l = conv2(c1l, train=train)
-        c3l = conv3(c2l, train=train)
-        c1r = conv1(right, train=train)
-        c2r = conv2(c1r, train=train)
-        c3r = conv3(c2r, train=train)
+        def encode(x):
+            c1 = conv1(x, train=train)
+            c2 = conv2(c1, train=train)
+            return c1, c2, conv3(c2, train=train)
+
+        if train:
+            c1l, c2l, c3l = encode(left)
+            c1r, c2r, c3r = encode(right)
+        else:
+            (c1l, c2l, c3l), (c1r, c2r, c3r) = siamese(encode, left, right)
 
         d8 = self.max_disp // 8 + 16
         corr = nn.leaky_relu(correlation_volume(c3l, c3r, d8), 0.1)  # [B,H/8,W/8,D]

@@ -25,7 +25,7 @@ from flax import linen as nn
 from ...ops import build_concat_volume, build_gwc_volume, disparity_regression
 from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock, head_dtype
+from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -118,8 +118,12 @@ class GwcNet(nn.Module):
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         backbone = GwcBackbone(self.use_concat_volume, self.concat_channels,
                                dtype=self.dtype, name="backbone")
-        feat_l = backbone(data["left"], train=train)
-        feat_r = backbone(data["right"], train=train)
+        if train:
+            feat_l = backbone(data["left"], train=True)
+            feat_r = backbone(data["right"], train=True)
+        else:
+            feat_l, feat_r = siamese(lambda x: backbone(x, train=False),
+                                     data["left"], data["right"])
 
         d4 = self.max_disp // self.downsample
         volume = build_gwc_volume(feat_l["gwc_feature"], feat_r["gwc_feature"],

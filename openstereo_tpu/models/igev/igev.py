@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from ...ops import build_gwc_volume, context_upsample, disparity_regression
 from ...registry import MODELS
-from ..layers import head_dtype
+from ..layers import head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from .blocks import (
     BasicConvBN,
@@ -167,8 +167,12 @@ class IGEV(nn.Module):
         image2 = 2.0 * (data["right"] / 255.0) - 1.0
 
         feature = Feature(dtype=self.dtype, name="feature")
-        feats_l = feature(image1, train=train)
-        feats_r = feature(image2, train=train)
+        if train:
+            feats_l = feature(image1, train=True)
+            feats_r = feature(image2, train=True)
+        else:
+            feats_l, feats_r = siamese(lambda x: feature(x, train=False),
+                                       image1, image2)
 
         stem_2a = BasicConvIN(32, 3, 2, dtype=self.dtype, name="stem_2a")
         stem_2b = BasicConvIN(32, 3, 1, dtype=self.dtype, name="stem_2b")
@@ -177,10 +181,14 @@ class IGEV(nn.Module):
         stem_2 = lambda x: stem_2b(stem_2a(x, train=train), train=train)  # noqa: E731
         stem_4 = lambda x: stem_4b(stem_4a(x, train=train), train=train)  # noqa: E731
 
-        stem_2x = stem_2(image1)
-        stem_4x = stem_4(stem_2x)
-        stem_2y = stem_2(image2)
-        stem_4y = stem_4(stem_2y)
+        if train:
+            stem_2x = stem_2(image1)
+            stem_4x = stem_4(stem_2x)
+            stem_2y = stem_2(image2)
+            stem_4y = stem_4(stem_2y)
+        else:
+            (stem_2x, stem_4x), (stem_2y, stem_4y) = siamese(
+                lambda x: ((s2 := stem_2(x)), stem_4(s2)), image1, image2)
         feats_l[0] = jnp.concatenate([feats_l[0], stem_4x], axis=-1)  # 96c
         feats_r[0] = jnp.concatenate([feats_r[0], stem_4y], axis=-1)
 

@@ -55,6 +55,30 @@ def leaky_relu(negative_slope: float = 0.01) -> Callable:
     return partial(nn.leaky_relu, negative_slope=negative_slope)
 
 
+def siamese(fn: Callable, left, right):
+    """Run a weight-shared (siamese) tower over a stereo pair as ONE
+    batched call: concat on the batch axis → single pass → split.
+
+    One 2B-batch pass loads every layer's weights from HBM once instead of
+    twice and halves op-dispatch overhead — the feature towers are
+    bandwidth-bound at inference batch sizes. With BatchNorm in inference
+    mode (running stats) the numerics are bit-identical to two separate
+    calls, so models use this for their eval path; the train path keeps two
+    calls to preserve the reference's per-view BN batch statistics
+    (reference runs backbone(left) / backbone(right) as separate forwards,
+    e.g. stereo/modeling/models/lightstereo/lightstereo.py:46-47).
+
+    `fn` may return an arbitrary pytree of arrays (e.g. a feature-pyramid
+    list); each leaf is split back into (left, right) halves.
+    """
+    import jax
+
+    b = left.shape[0]
+    out = fn(jnp.concatenate([left, right], axis=0))
+    return (jax.tree.map(lambda t: t[:b], out),
+            jax.tree.map(lambda t: t[b:], out))
+
+
 def relu6(x):
     return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
 

@@ -25,7 +25,8 @@ from flax import linen as nn
 from ...ops import correlation_volume, disparity_regression, context_upsample, resize_bilinear
 from ...registry import MODELS
 from ..backbones import MobileNetV2Features
-from ..layers import ConvBlock, DeconvBlock, MobileV2Residual, leaky_relu, head_dtype
+from ..layers import (ConvBlock, DeconvBlock, MobileV2Residual, leaky_relu,
+                      head_dtype, siamese)
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -167,8 +168,12 @@ class LightStereo(nn.Module):
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         left, right = data["left"], data["right"]
         backbone = Backbone(self.backbone, dtype=self.dtype, name="backbone")
-        feats_l = backbone(left, train=train)
-        feats_r = backbone(right, train=train)
+        if train:
+            feats_l = backbone(left, train=True)
+            feats_r = backbone(right, train=True)
+        else:
+            feats_l, feats_r = siamese(
+                lambda x: backbone(x, train=False), left, right)
 
         d4 = self.max_disp // 4
         volume = correlation_volume(feats_l[0], feats_r[0], d4)  # [B,H/4,W/4,D/4]

@@ -33,6 +33,7 @@ from ..layers import (
     MobileV2Residual,
     MobileV2Residual3D,
     head_dtype,
+    siamese,
 )
 from ..losses import disp_valid_mask, masked_smooth_l1
 
@@ -129,8 +130,12 @@ class MSNet3D(nn.Module):
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         trunk = MobileFeatureTrunk(dtype=self.dtype, name="trunk")
-        feat_l = trunk(data["left"], train=train)
-        feat_r = trunk(data["right"], train=train)
+        if train:
+            feat_l = trunk(data["left"], train=True)
+            feat_r = trunk(data["right"], train=True)
+        else:
+            feat_l, feat_r = siamese(lambda x: trunk(x, train=False),
+                                     data["left"], data["right"])
 
         d4 = self.max_disp // 4
         volume = build_gwc_volume(feat_l, feat_r, d4, self.num_groups)
@@ -225,8 +230,12 @@ class MSNet2D(nn.Module):
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         trunk = MobileFeatureTrunk(add_relus=True, dtype=self.dtype, name="trunk")
-        feat_l = trunk(data["left"], train=train)
-        feat_r = trunk(data["right"], train=train)
+        if train:
+            feat_l = trunk(data["left"], train=True)
+            feat_r = trunk(data["right"], train=True)
+        else:
+            feat_l, feat_r = siamese(lambda x: trunk(x, train=False),
+                                     data["left"], data["right"])
 
         # preconv11: 320 → 32 (reference MSNet2D.py:65-71); shared weights for
         # both views, so instantiate once and call twice

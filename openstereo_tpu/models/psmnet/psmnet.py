@@ -25,7 +25,7 @@ from flax import linen as nn
 from ...ops import build_concat_volume, disparity_regression, resize_linear_align_corners
 from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock, head_dtype
+from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -147,8 +147,12 @@ class PSMNet(nn.Module):
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         backbone = SPPBackbone(dtype=self.dtype, name="backbone")
-        feat_l = backbone(data["left"], train=train)
-        feat_r = backbone(data["right"], train=train)
+        if train:
+            feat_l = backbone(data["left"], train=True)
+            feat_r = backbone(data["right"], train=True)
+        else:
+            feat_l, feat_r = siamese(lambda x: backbone(x, train=False),
+                                     data["left"], data["right"])
 
         volume = build_concat_volume(feat_l, feat_r, self.max_disp // 4)
         volume = shard_disparity(volume)  # split D over the mesh 'model' axis

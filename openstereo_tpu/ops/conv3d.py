@@ -83,10 +83,42 @@ def conv3d_tap_merged(
         o = conv2d(xr, wk)
         return o.reshape(b, do, o.shape[1], o.shape[2], cout)
 
-    # tap-merge wins only for stride-1 depth (measured 1.6–2.1× at the
-    # cost-volume shapes, but 0.7× for sd=2 where the residue split costs
-    # more than the channel widening buys — see docs/BENCHMARKS.md); also
-    # guard the ≤ KD tap copies of the pre-reduction volume against HBM.
+    if sd > 1 and dd == 1 and groups == 1:
+        # Polyphase depth split — exact FLOPs for strided-overlapping depth
+        # (the hourglass downsampling convs: kd=3, sd=2, pd=1). Naive
+        # tap-merging at sd>1 wastes sd× FLOPs (every (depth, tap) pair is
+        # computed but only 1/sd are consumed — measured 0.7× vs native,
+        # the old fallback). Instead group taps by the congruence class of
+        # the input depth they read: output od reads input j = sd·od+t-pd0,
+        # so tap t only ever touches depths j ≡ (t-pd0) (mod sd). Each
+        # phase r gets ONE folded conv2d over x[:, r::sd] with its taps
+        # merged into output channels, then static shift-adds — no wasted
+        # work, and the contraction stays a wide 2D conv on the MXU.
+        ho = (h + ph[0] + ph[1] - (dh * (kh - 1) + 1)) // sh + 1
+        wo = (w + pw[0] + pw[1] - (dw_ * (kw - 1) + 1)) // sw + 1
+        y = jnp.zeros((b, do, ho, wo, cout), x.dtype)
+        for r in range(sd):
+            taps = [t for t in range(kd) if (t - pd0) % sd == r]
+            xp = x[:, r::sd]
+            dp = xp.shape[1]
+            if not taps or dp == 0:
+                continue
+            xb = xp.reshape(b * dp, h, w, cin)
+            wk = jnp.stack([kernel[t] for t in taps])  # [T,KH,KW,Cin,Cout]
+            wk = wk.transpose(1, 2, 3, 0, 4).reshape(kh, kw, cin_g, len(taps) * cout)
+            o = conv2d(xb, wk).reshape(b, dp, ho, wo, len(taps), cout)
+            for ti, t in enumerate(taps):
+                m = (t - pd0 - r) // sd  # phase index i feeds od = i - m
+                i_lo = max(0, m)
+                i_hi = min(dp - 1, do - 1 + m)
+                if i_lo > i_hi:
+                    continue
+                y = y.at[:, i_lo - m:i_hi - m + 1].add(
+                    o[:, i_lo:i_hi + 1, :, :, ti])
+        return y
+
+    # tap-merge wins only for stride-1 depth; guard the ≤ KD tap copies of
+    # the pre-reduction volume against HBM (see docs/BENCHMARKS.md).
     inter_bytes = b * d * h * w * kd * cout * x.dtype.itemsize
     if sd != 1 or inter_bytes > 4 << 30:
         return jax.lax.conv_general_dilated(
