@@ -19,6 +19,8 @@ from .fadnet import FADNet  # noqa: F401
 from .casnet import CasPSMNet, CasGwcNet  # noqa: F401
 from .cfnet import CFNet  # noqa: F401
 from .aanet import AANet  # noqa: F401
+from .stereobase import StereoBase  # noqa: F401
+from .igev_rt import IGEVRT  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

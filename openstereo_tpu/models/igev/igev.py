@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from ...ops import build_gwc_volume, context_upsample, disparity_regression
 from ...registry import MODELS
-from ..layers import head_dtype, siamese
+from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from .blocks import (
     BasicConvBN,
@@ -44,9 +44,11 @@ from .update import BasicMultiUpdateBlock
 
 class GeoHourglass(nn.Module):
     """3-level 3D hourglass with feature attention at every scale
-    (reference igev_stereo.py:7-77)."""
+    (reference igev_stereo.py:7-77; also StereoBase's hourglass,
+    stereobase/hourglass.py:7-104 — identical structure with
+    in_channels = total cost-volume channels). Output channels == features."""
 
-    features: int  # 8
+    features: int  # 8 for IGEV; the fused volume channel count for StereoBase
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -86,7 +88,7 @@ class GeoHourglass(nn.Module):
         conv1 = FeatureAtt(c * 2, dtype=self.dtype, name="att_up8")(
             conv1, features[1], train=train)
 
-        return B3(8, 4, 2, "conv1_up", deconv=True, bn=False, relu=False)(
+        return B3(c, 4, 2, "conv1_up", deconv=True, bn=False, relu=False)(
             conv1, train=train)
 
 
@@ -174,10 +176,14 @@ class IGEV(nn.Module):
             feats_l, feats_r = siamese(lambda x: feature(x, train=False),
                                        image1, image2)
 
+        # stems: BasicConv_IN (LeakyReLU) then plain conv+IN+ReLU
+        # (reference igev_stereo.py:97-106 — the second stage uses nn.ReLU)
         stem_2a = BasicConvIN(32, 3, 2, dtype=self.dtype, name="stem_2a")
-        stem_2b = BasicConvIN(32, 3, 1, dtype=self.dtype, name="stem_2b")
+        stem_2b = ConvBlock(32, 3, norm="instance", act=nn.relu,
+                            dtype=self.dtype, name="stem_2b")
         stem_4a = BasicConvIN(48, 3, 2, dtype=self.dtype, name="stem_4a")
-        stem_4b = BasicConvIN(48, 3, 1, dtype=self.dtype, name="stem_4b")
+        stem_4b = ConvBlock(48, 3, norm="instance", act=nn.relu,
+                            dtype=self.dtype, name="stem_4b")
         stem_2 = lambda x: stem_2b(stem_2a(x, train=train), train=train)  # noqa: E731
         stem_4 = lambda x: stem_4b(stem_4a(x, train=train), train=train)  # noqa: E731
 
@@ -199,7 +205,9 @@ class IGEV(nn.Module):
 
         d4 = self.max_disp // 4
         gwc = build_gwc_volume(match_left, match_right, d4, 8)  # [B,D/4,H/4,W/4,8]
-        gwc = BasicConvBN(8, 3, 1, ndim=3, bn=False, relu=False, dtype=self.dtype,
+        # corr_stem: conv3d + BN + LeakyReLU (reference igev_stereo.py:122 —
+        # BasicConv defaults bn=True, relu=True)
+        gwc = BasicConvBN(8, 3, 1, ndim=3, dtype=self.dtype,
                           name="corr_stem")(gwc, train=train)
         gwc = FeatureAtt(8, dtype=self.dtype, name="corr_feature_att")(
             gwc, feats_l[0], train=train)
@@ -293,8 +301,8 @@ class IGEV(nn.Module):
             # superpixel upsample of the init disparity (train supervision)
             xspx = BasicConvIN(24, 3, 1, dtype=self.dtype, name="spx_4a")(
                 feats_l[0], train=train)
-            xspx = BasicConvIN(24, 3, 1, dtype=self.dtype, name="spx_4b")(
-                xspx, train=train)
+            xspx = ConvBlock(24, 3, norm="instance", act=nn.relu,
+                             dtype=self.dtype, name="spx_4b")(xspx, train=train)
             xspx = Conv2x(32, deconv=True, norm="instance", dtype=self.dtype,
                           name="spx_2")(xspx, stem_2x, train=train)
             spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",

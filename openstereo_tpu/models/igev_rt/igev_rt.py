@@ -1,0 +1,253 @@
+"""IGEV-RT — real-time IGEV variant: single-scale GRU, conv-only context.
+
+TPU-native re-design of the reference IGEVRTtereo
+(reference: stereo/modeling/models/igev_rt/igev_rt_stereo.py:89-242):
+
+- the IGEV MobileNetV2 trunk/stems/descriptors unchanged (extractor.py:328
+  == igev's — shared here via models/igev/blocks.py);
+- gwc volume (8 groups) fed STRAIGHT into the 3-level feature-gated 3D
+  hourglass — no corr_stem / corr_feature_att (igev_rt_stereo.py:164-165);
+- hidden state from a plain conv pair over the 1/4 features (`hnet`) and a
+  single-conv context (`cnet` + one zqr conv) instead of the multi-scale
+  ResNet context encoder (igev_rt_stereo.py:96-101,178-181);
+- ONE ConvGRU at 1/4 per iteration; geometry lookups sample only the
+  GEV pyramid (geometry.py:6-33 — no all-pairs correlation), so
+  cor_planes = CORR_LEVELS·(2r+1)·8 (update.py:72-96);
+- loss = smooth-L1 on the upsampled init disparity + γ-weighted L1 over
+  iterates with the reference's hardcoded mag<192 gate
+  (igev_rt_stereo.py:215-242).
+
+Like the reference, images arrive raw [0,255] (the igev_rt cfgs apply no
+NormalizeImage) and the model performs no internal normalisation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import build_gwc_volume, context_upsample, disparity_regression
+from ...registry import MODELS
+from ..layers import ConvBlock, head_dtype, siamese
+from ..losses import masked_l1, masked_smooth_l1
+from ..igev.blocks import BasicConvBN, BasicConvIN, Conv2x, Feature
+from ..igev.geometry import avg_pool_last, lookup_1d
+from ..igev.igev import GeoHourglass
+from ..igev.update import ConvGRU, DispHead
+
+
+class RTMotionEncoder(nn.Module):
+    """Geo features + disp → 96-channel motion features
+    (reference igev_rt/update.py:72-96; conv → 95 then concat disp)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, disp, geo):
+        conv = lambda f, k, name: nn.Conv(f, (k, k), padding="SAME",  # noqa: E731
+                                          dtype=self.dtype, name=name)
+        cor = nn.relu(conv(64, 1, "convc1")(geo))
+        cor = nn.relu(conv(64, 3, "convc2")(cor))
+        d = nn.relu(conv(64, 7, "convd1")(disp))
+        d = nn.relu(conv(64, 3, "convd2")(d))
+        out = nn.relu(conv(95, 3, "conv")(jnp.concatenate([cor, d], axis=-1)))
+        return jnp.concatenate([out, disp], axis=-1)  # 96
+
+
+class BasicUpdateBlock(nn.Module):
+    """Single-scale update (reference igev_rt/update.py:112-137)."""
+
+    hidden_dim: int = 96
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, context, geo, disp):
+        motion = RTMotionEncoder(dtype=self.dtype, name="encoder")(disp, geo)
+        net = ConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(
+            net, context, motion)
+        delta_disp = DispHead(128, dtype=self.dtype, name="disp_head")(net)
+        mask_feat_4 = nn.relu(nn.Conv(32, (3, 3), padding="SAME",
+                                      dtype=self.dtype,
+                                      name="mask_feat_4")(net))
+        return net, mask_feat_4, delta_disp
+
+
+class _RTIteration(nn.Module):
+    """One GRU iteration — body of the scanned loop.
+
+    carry = (net, disp, geo_pyramid, context); emits (disp, mask_feat_4).
+    """
+
+    hidden_dim: int
+    radius: int
+    num_levels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        net, disp, geo_pyr, context = carry
+        disp = jax.lax.stop_gradient(disp)
+        r = self.radius
+        dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
+        feats = [lookup_1d(geo_pyr[i], disp[..., 0, None] / (2.0 ** i) + dx)
+                 for i in range(self.num_levels)]
+        geo_feat = jnp.concatenate(feats, axis=-1)
+        net, mask_feat_4, delta = BasicUpdateBlock(
+            self.hidden_dim, dtype=self.dtype, name="update_block")(
+                net, context, geo_feat, disp)
+        disp = disp + delta
+        return (net, disp, geo_pyr, context), (disp[..., 0], mask_feat_4)
+
+
+@MODELS.register  # "IGEVRT" == reference MODEL.NAME
+class IGEVRT(nn.Module):
+    """forward(data) → {'disp_pred', 'init_disp'+'disp_preds' (train)}."""
+
+    max_disp: int = 192
+    hidden_dim: int = 96
+    corr_levels: int = 2
+    corr_radius: int = 4
+    train_iters: int = 22
+    valid_iters: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
+        image1 = data["left"]
+        image2 = data["right"]
+
+        feature = Feature(dtype=self.dtype, name="feature")
+        if train:
+            feats_l = feature(image1, train=True)
+            feats_r = feature(image2, train=True)
+        else:
+            feats_l, feats_r = siamese(lambda x: feature(x, train=False),
+                                       image1, image2)
+
+        stem_2a = BasicConvIN(32, 3, 2, dtype=self.dtype, name="stem_2a")
+        stem_2b = ConvBlock(32, 3, norm="instance", act=nn.relu,
+                            dtype=self.dtype, name="stem_2b")
+        stem_4a = BasicConvIN(48, 3, 2, dtype=self.dtype, name="stem_4a")
+        stem_4b = ConvBlock(48, 3, norm="instance", act=nn.relu,
+                            dtype=self.dtype, name="stem_4b")
+        stem_2 = lambda x: stem_2b(stem_2a(x, train=train), train=train)  # noqa: E731
+        stem_4 = lambda x: stem_4b(stem_4a(x, train=train), train=train)  # noqa: E731
+
+        if train:
+            stem_2x = stem_2(image1)
+            stem_4x = stem_4(stem_2x)
+            stem_2y = stem_2(image2)
+            stem_4y = stem_4(stem_2y)
+        else:
+            (stem_2x, stem_4x), (stem_2y, stem_4y) = siamese(
+                lambda x: ((s2 := stem_2(x)), stem_4(s2)), image1, image2)
+        feats_l[0] = jnp.concatenate([feats_l[0], stem_4x], axis=-1)  # 96c
+        feats_r[0] = jnp.concatenate([feats_r[0], stem_4y], axis=-1)
+
+        conv = BasicConvIN(96, 3, 1, dtype=self.dtype, name="conv")
+        desc = nn.Conv(96, (1, 1), dtype=self.dtype, name="desc")
+        match_left = desc(conv(feats_l[0], train=train))
+        match_right = desc(conv(feats_r[0], train=train))
+
+        d4 = self.max_disp // 4
+        gwc = build_gwc_volume(match_left, match_right, d4, 8)
+        geo_volume = GeoHourglass(8, dtype=self.dtype, name="cost_agg")(
+            gwc, feats_l, train=train)
+
+        cost = nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False,
+                       dtype=self.dtype, name="classifier")(geo_volume)
+        prob = nn.softmax(cost[..., 0].astype(head_dtype(self.dtype)), axis=1)
+        init_disp = disparity_regression(prob, d4, axis=1)  # [B,H/4,W/4]
+
+        # conv-only hidden / context (reference igev_rt_stereo.py:96-101)
+        hidden = BasicConvBN(self.hidden_dim, 3, 1, dtype=self.dtype,
+                             name="hnet0")(feats_l[0], train=train)
+        hidden = nn.Conv(self.hidden_dim, (3, 3), padding="SAME",
+                         use_bias=False, dtype=self.dtype, name="hnet1")(hidden)
+        net = jnp.tanh(hidden)
+        ctx = BasicConvBN(self.hidden_dim, 3, 1, dtype=self.dtype,
+                          name="cnet")(feats_l[0], train=train)
+        zqr = nn.Conv(self.hidden_dim * 3, (3, 3), padding="SAME",
+                      dtype=self.dtype, name="context_zqr_conv")(ctx)
+        context = tuple(jnp.split(zqr, 3, axis=-1))
+
+        # geo-only lookup pyramid (reference igev_rt/geometry.py:6-33)
+        geo0 = jnp.transpose(geo_volume.astype(head_dtype(self.dtype)),
+                             (0, 2, 3, 4, 1))  # [B,H,W,C,D]
+        geo_pyr = [geo0]
+        for _ in range(self.corr_levels - 1):
+            geo_pyr.append(avg_pool_last(geo_pyr[-1]))
+
+        b, h4, w4 = init_disp.shape
+
+        spx_2_gru = Conv2x(32, deconv=True, norm="batch", dtype=self.dtype,
+                           name="spx_2_gru")
+        spx_gru = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
+                                   dtype=self.dtype, name="spx_gru")
+
+        def upsample_disp(disp4, mask_feat_4, stem_2x):
+            x = spx_2_gru(mask_feat_4, stem_2x, train=train)
+            spx = nn.softmax(spx_gru(x).astype(head_dtype(self.dtype)), axis=-1)
+            return context_upsample(disp4 * 4.0, spx)  # [B,H,W]
+
+        iters = self.train_iters if train else self.valid_iters
+        ScannedLoop = nn.scan(
+            _RTIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )
+        loop = ScannedLoop(
+            hidden_dim=self.hidden_dim,
+            radius=self.corr_radius,
+            num_levels=self.corr_levels,
+            dtype=self.dtype,
+            name="gru_loop",
+        )
+        carry = (net, init_disp[..., None], tuple(geo_pyr), context)
+        carry, (disp_seq, mask_seq) = loop(carry, None)
+        final_disp = carry[1]
+        final_mask_feat = mask_seq[-1]
+
+        if train:
+            n_it = disp_seq.shape[0]
+            disp_flat = disp_seq.reshape(n_it * b, h4, w4)
+            mask_flat = mask_seq.reshape(n_it * b, h4, w4, mask_seq.shape[-1])
+            stem_rep = jnp.tile(stem_2x, (n_it, 1, 1, 1))
+            ups = upsample_disp(disp_flat, mask_flat, stem_rep)
+            ups = ups.reshape(n_it, b, *ups.shape[1:])
+            disp_preds = [ups[i] for i in range(n_it)]
+            disp_up = disp_preds[-1]
+        else:
+            disp_up = upsample_disp(final_disp[..., 0], final_mask_feat, stem_2x)
+
+        out = {"disp_pred": disp_up}
+        if train:
+            xspx = BasicConvIN(24, 3, 1, dtype=self.dtype, name="spx_4a")(
+                feats_l[0], train=train)
+            xspx = ConvBlock(24, 3, norm="instance", act=nn.relu,
+                             dtype=self.dtype, name="spx_4b")(xspx, train=train)
+            xspx = Conv2x(32, deconv=True, norm="instance", dtype=self.dtype,
+                          name="spx_2")(xspx, stem_2x, train=train)
+            spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
+                                   dtype=self.dtype, name="spx")(xspx)
+            spx = nn.softmax(spx.astype(head_dtype(self.dtype)), axis=-1)
+            out["init_disp"] = context_upsample(init_disp * 4.0, spx)
+            out["disp_preds"] = disp_preds
+        return out
+
+    def get_loss(self, pred: Dict, data: Dict):
+        """Smooth-L1 on init + γ-weighted L1 over iterates; the reference
+        gates on gt<192 regardless of MAX_DISP (igev_rt_stereo.py:229)."""
+        gt = data["disp"]
+        mask = (gt < self.max_disp) & (gt > 0) & (gt < 192.0)
+        loss = masked_smooth_l1(pred["init_disp"], gt, mask)
+        preds = pred["disp_preds"]
+        n = len(preds)
+        gamma = 0.9 ** (15.0 / max(n - 1, 1))
+        for i, p in enumerate(preds):
+            loss = loss + (gamma ** (n - i - 1)) * masked_l1(p, gt, mask)
+        return loss, {"loss_disp": loss}

@@ -20,6 +20,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -62,17 +63,17 @@ def siamese(fn: Callable, left, right):
     One 2B-batch pass loads every layer's weights from HBM once instead of
     twice and halves op-dispatch overhead — the feature towers are
     bandwidth-bound at inference batch sizes. With BatchNorm in inference
-    mode (running stats) the numerics are bit-identical to two separate
-    calls, so models use this for their eval path; the train path keeps two
-    calls to preserve the reference's per-view BN batch statistics
-    (reference runs backbone(left) / backbone(right) as separate forwards,
-    e.g. stereo/modeling/models/lightstereo/lightstereo.py:46-47).
+    mode (running stats) the numerics are equivalent to two separate calls
+    (all eval-mode ops are per-sample; no batch-statistic coupling), though
+    XLA may tile the 2B-batch program differently so bf16 results are not
+    guaranteed bit-exact. Models use this for their eval path; the train
+    path keeps two calls to preserve the reference's per-view BN batch
+    statistics (reference runs backbone(left) / backbone(right) as separate
+    forwards, e.g. stereo/modeling/models/lightstereo/lightstereo.py:46-47).
 
     `fn` may return an arbitrary pytree of arrays (e.g. a feature-pyramid
     list); each leaf is split back into (left, right) halves.
     """
-    import jax
-
     b = left.shape[0]
     out = fn(jnp.concatenate([left, right], axis=0))
     return (jax.tree.map(lambda t: t[:b], out),

@@ -96,7 +96,10 @@ def conv3d_tap_merged(
         # work, and the contraction stays a wide 2D conv on the MXU.
         ho = (h + ph[0] + ph[1] - (dh * (kh - 1) + 1)) // sh + 1
         wo = (w + pw[0] + pw[1] - (dw_ * (kw - 1) + 1)) // sw + 1
-        y = jnp.zeros((b, do, ho, wo, cout), x.dtype)
+        # accumulate cross-tap partial sums in f32 (matches the native
+        # lowering, which carries the full kd·kh·kw·Cin contraction in f32)
+        acc_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        y = jnp.zeros((b, do, ho, wo, cout), acc_dtype)
         for r in range(sd):
             taps = [t for t in range(kd) if (t - pd0) % sd == r]
             xp = x[:, r::sd]
@@ -114,8 +117,8 @@ def conv3d_tap_merged(
                 if i_lo > i_hi:
                     continue
                 y = y.at[:, i_lo - m:i_hi - m + 1].add(
-                    o[:, i_lo:i_hi + 1, :, :, ti])
-        return y
+                    o[:, i_lo:i_hi + 1, :, :, ti].astype(acc_dtype))
+        return y.astype(x.dtype)
 
     # tap-merge wins only for stride-1 depth; guard the ≤ KD tap copies of
     # the pre-reduction volume against HBM (see docs/BENCHMARKS.md).

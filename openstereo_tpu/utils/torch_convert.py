@@ -127,6 +127,22 @@ class TreeBuilder:
         if self.has(f"{tkey}.bias"):
             self.put("params", f"{fpath}/bias", self.take(f"{tkey}.bias"))
 
+    def raw_conv(self, tkey: str, fpath: str, deconv: bool = False):
+        """tkey.weight(+bias) → a bare flax nn.Conv/ConvTranspose at fpath
+        (no ConvBlock nesting)."""
+        xform = deconv_kernel if deconv else conv_kernel
+        self.put("params", f"{fpath}/kernel", xform(self.take(f"{tkey}.weight")))
+        if self.has(f"{tkey}.bias"):
+            self.put("params", f"{fpath}/bias", self.take(f"{tkey}.bias"))
+
+    def drop(self, prefix: str):
+        """Mark keys under prefix consumed — duplicate registrations (a torch
+        module reachable under two attribute names) or params the reference
+        instantiates but never uses in forward."""
+        for k in list(self.sd):
+            if k.startswith(prefix):
+                self.used.add(k)
+
     # -- finish ------------------------------------------------------------
     def finish(self, allow_unused: tuple = ()) -> Dict:
         unused = [k for k in self.sd if k not in self.used
@@ -349,6 +365,274 @@ def convert_timm_mobilenetv2(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 # =========================================================================
+# IGEV / StereoBase (reference stereo/modeling/models/{igev,stereobase}/)
+# =========================================================================
+
+def _timm_trunk_sliced(b: TreeBuilder, tpre: str, fpre: str):
+    """timm mobilenetv2_100 re-sliced into blockK Sequentials
+    (reference igev/extractor.py:331-337 and stereobase/backbone.py:42-46
+    wrap `Sequential(*model.blocks[i:j])`, adding one Sequential index:
+    blockK.<stage-within-slice>.<block>)."""
+    b.conv(f"{tpre}.conv_stem", f"{fpre}/stem")
+    b.bn(f"{tpre}.bn1", f"{fpre}/stem")
+    ds = f"{tpre}.block0.0.0"
+    b.conv(f"{ds}.conv_dw", f"{fpre}/stage0_block0/dw")
+    b.bn(f"{ds}.bn1", f"{fpre}/stage0_block0/dw")
+    b.conv(f"{ds}.conv_pw", f"{fpre}/stage0_block0/pw_linear")
+    b.bn(f"{ds}.bn2", f"{fpre}/stage0_block0/pw_linear")
+    layout = {  # (torch blockK, stage index within the slice) → (flax stage, n)
+        ("block1", 0): (1, 2), ("block2", 0): (2, 3),
+        ("block3", 0): (3, 4), ("block3", 1): (4, 3), ("block4", 0): (5, 3),
+    }
+    for (blk, m), (si, n) in layout.items():
+        for bi in range(n):
+            t, f = f"{tpre}.{blk}.{m}.{bi}", f"{fpre}/stage{si}_block{bi}"
+            b.conv(f"{t}.conv_pw", f"{f}/pw")
+            b.bn(f"{t}.bn1", f"{f}/pw")
+            b.conv(f"{t}.conv_dw", f"{f}/dw")
+            b.bn(f"{t}.bn2", f"{f}/dw")
+            b.conv(f"{t}.conv_pwl", f"{f}/pw_linear")
+            b.bn(f"{t}.bn3", f"{f}/pw_linear")
+
+
+def _conv2x(b: TreeBuilder, tpre: str, fpre: str, bn: bool,
+            style: str = "igev"):
+    """Conv2x / Conv2x_IN (igev/submodule.py:35-79,:111-155) or Conv2xUp
+    (stereobase/igev_blocks.py:10-32) with deconv first stage → flax Conv2x.
+
+    igev style: sub-convs named `.conv1.conv` (+`.conv1.bn`); stereobase
+    style wraps BasicConv2d/BasicDeconv2d whose Sequential is `.block`
+    (`.conv1.block.0` conv, `.conv1.block.1` norm)."""
+    c1, c2 = (".conv1.conv", ".conv2.conv") if style == "igev" \
+        else (".conv1.block.0", ".conv2.block.0")
+    n1, n2 = (".conv1.bn", ".conv2.bn") if style == "igev" \
+        else (".conv1.block.1", ".conv2.block.1")
+    b.conv(f"{tpre}{c1}", f"{fpre}/conv1/conv", deconv=True)
+    if bn:
+        b.bn(f"{tpre}{n1}", f"{fpre}/conv1/conv")
+    b.conv(f"{tpre}{c2}", f"{fpre}/conv2/conv")
+    if bn:
+        b.bn(f"{tpre}{n2}", f"{fpre}/conv2/conv")
+
+
+def _feature_att(b: TreeBuilder, tpre: str, fpre: str, style: str = "igev"):
+    """FeatureAtt (igev/submodule.py:237-250 == stereobase
+    igev_blocks.py:35-48) → flax FeatureAtt att0/att1."""
+    if style == "igev":
+        b.conv(f"{tpre}.feat_att.0.conv", f"{fpre}/att0/conv")
+        b.bn(f"{tpre}.feat_att.0.bn", f"{fpre}/att0/conv")
+    else:
+        b.conv(f"{tpre}.feat_att.0.block.0", f"{fpre}/att0/conv")
+        b.bn(f"{tpre}.feat_att.0.block.1", f"{fpre}/att0/conv")
+    b.raw_conv(f"{tpre}.feat_att.1", f"{fpre}/att1")
+
+
+def _igev_feature(b: TreeBuilder, tpre: str = "feature", fpre: str = "feature",
+                  style: str = "igev"):
+    """IGEV/StereoBase Feature: timm trunk + Conv2x decoder + conv4."""
+    _timm_trunk_sliced(b, tpre, f"{fpre}/trunk")
+    for name in ("deconv32_16", "deconv16_8", "deconv8_4"):
+        _conv2x(b, f"{tpre}.{name}", f"{fpre}/{name}", bn=False, style=style)
+    if style == "igev":
+        b.conv(f"{tpre}.conv4.conv", f"{fpre}/conv4/conv")
+    else:
+        b.conv(f"{tpre}.conv4.block.0", f"{fpre}/conv4/conv")
+
+
+def _geo_hourglass(b: TreeBuilder, tpre: str, fpre: str, style: str = "igev"):
+    """IGEV hourglass (igev_stereo.py:7-77) / StereoBase Hourglass
+    (stereobase/hourglass.py:7-104) → flax GeoHourglass.
+
+    igev spelling: BasicConv `.conv`/`.bn`; stereobase spelling: BasicConv3d
+    `.block.0`/`.block.1`."""
+    ck, nk = (".conv", ".bn") if style == "igev" else (".block.0", ".block.1")
+    pairs = [("conv1.0", "conv1a"), ("conv1.1", "conv1b"),
+             ("conv2.0", "conv2a"), ("conv2.1", "conv2b"),
+             ("conv3.0", "conv3a"), ("conv3.1", "conv3b"),
+             ("agg_0.0", "agg0a"), ("agg_0.1", "agg0b"), ("agg_0.2", "agg0c"),
+             ("agg_1.0", "agg1a"), ("agg_1.1", "agg1b"), ("agg_1.2", "agg1c")]
+    for t, f in pairs:
+        b.conv(f"{tpre}.{t}{ck}", f"{fpre}/{f}/conv")
+        b.bn(f"{tpre}.{t}{nk}", f"{fpre}/{f}/conv")
+    for t in ("conv3_up", "conv2_up"):
+        b.conv(f"{tpre}.{t}{ck}", f"{fpre}/{t}/conv", deconv=True)
+        b.bn(f"{tpre}.{t}{nk}", f"{fpre}/{t}/conv")
+    b.conv(f"{tpre}.conv1_up{ck}", f"{fpre}/conv1_up/conv", deconv=True)
+    if style == "igev":
+        # bn=False — torch BasicConv still *instantiates* self.bn
+        b.drop(f"{tpre}.conv1_up.bn")
+    for t, f in (("feature_att_8", "att8"), ("feature_att_16", "att16"),
+                 ("feature_att_32", "att32"), ("feature_att_up_16", "att_up16"),
+                 ("feature_att_up_8", "att_up8")):
+        _feature_att(b, f"{tpre}.{t}", f"{fpre}/{f}", style=style)
+
+
+def _ctx_res_block(b: TreeBuilder, tpre: str, fpre: str):
+    """Context-net ResidualBlock (igev/extractor.py:6-59, batch norm_fn).
+    torch registers norm3 both standalone and inside downsample — consume the
+    downsample copy and drop the alias."""
+    b.conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.bn(f"{tpre}.norm1", f"{fpre}/conv1")
+    b.conv(f"{tpre}.conv2", f"{fpre}/conv2")
+    b.bn(f"{tpre}.norm2", f"{fpre}/conv2")
+    if b.has(f"{tpre}.downsample.0.weight"):
+        b.conv(f"{tpre}.downsample.0", f"{fpre}/downsample")
+        b.bn(f"{tpre}.downsample.1", f"{fpre}/downsample")
+        b.drop(f"{tpre}.norm3")
+
+
+def _multi_basic_encoder(b: TreeBuilder, tpre: str, fpre: str, n_out: int = 2):
+    """MultiBasicEncoder (igev/extractor.py:194-298 == stereobase
+    gru_blocks.py:62-149) → flax MultiBasicEncoder."""
+    b.conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.bn(f"{tpre}.norm1", f"{fpre}/conv1")
+    for name in ("layer1", "layer2", "layer3", "layer4", "layer5"):
+        for j in (0, 1):
+            _ctx_res_block(b, f"{tpre}.{name}.{j}", f"{fpre}/{name}_{j}")
+    for scale in ("04", "08"):
+        for oi in range(n_out):
+            _ctx_res_block(b, f"{tpre}.outputs{scale}.{oi}.0",
+                           f"{fpre}/out{scale}_{oi}_res")
+            b.raw_conv(f"{tpre}.outputs{scale}.{oi}.1",
+                       f"{fpre}/out{scale}_{oi}_conv")
+    for oi in range(n_out):
+        b.raw_conv(f"{tpre}.outputs16.{oi}", f"{fpre}/out16_{oi}_conv")
+
+
+def _update_block(b: TreeBuilder, tpre: str = "update_block",
+                  fpre: str = "gru_loop/update_block"):
+    """BasicMultiUpdateBlock (igev/update.py:110-148 == stereobase
+    gru_blocks.py:290-328); flax params live under the nn.scan module."""
+    for k in ("convc1", "convc2", "convd1", "convd2", "conv"):
+        b.raw_conv(f"{tpre}.encoder.{k}", f"{fpre}/encoder/{k}")
+    for g in ("gru04", "gru08", "gru16"):
+        for k in ("convz", "convr", "convq"):
+            b.raw_conv(f"{tpre}.{g}.{k}", f"{fpre}/{g}/{k}")
+    b.raw_conv(f"{tpre}.disp_head.conv1", f"{fpre}/disp_head/conv1")
+    b.raw_conv(f"{tpre}.disp_head.conv2", f"{fpre}/disp_head/conv2")
+    b.raw_conv(f"{tpre}.mask_feat_4.0", f"{fpre}/mask_feat_4")
+
+
+def convert_igev(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference IGEVStereo (igev_stereo.py:79-247) → flax IGEV variables."""
+    b = TreeBuilder(sd)
+    _igev_feature(b)
+    # stems: BasicConv_IN + plain conv (+param-free InstanceNorm/ReLU)
+    b.conv("stem_2.0.conv", "stem_2a/conv")
+    b.conv("stem_2.1", "stem_2b")
+    b.conv("stem_4.0.conv", "stem_4a/conv")
+    b.conv("stem_4.1", "stem_4b")
+    # superpixel paths
+    b.conv("spx_4.0.conv", "spx_4a/conv")
+    b.conv("spx_4.1", "spx_4b")
+    _conv2x(b, "spx_2", "spx_2", bn=False)
+    b.raw_conv("spx.0", "spx", deconv=True)
+    _conv2x(b, "spx_2_gru", "spx_2_gru", bn=True)
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    # matching descriptors + gwc stem
+    b.conv("conv.conv", "conv/conv")
+    b.raw_conv("desc", "desc")
+    b.conv("corr_stem.conv", "corr_stem/conv")
+    b.bn("corr_stem.bn", "corr_stem/conv")
+    _feature_att(b, "corr_feature_att", "corr_feature_att")
+    _geo_hourglass(b, "cost_agg", "cost_agg")
+    b.raw_conv("classifier", "classifier")
+    # context + GRU machinery
+    _multi_basic_encoder(b, "cnet", "cnet")
+    for i in range(3):
+        b.raw_conv(f"context_zqr_convs.{i}", f"context_zqr{i}")
+    _update_block(b)
+    return b.finish()
+
+
+def convert_igev_rt(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference IGEVRTtereo (igev_rt_stereo.py:89-242) → flax IGEVRT."""
+    b = TreeBuilder(sd)
+    _igev_feature(b)
+    b.conv("stem_2.0.conv", "stem_2a/conv")
+    b.conv("stem_2.1", "stem_2b")
+    b.conv("stem_4.0.conv", "stem_4a/conv")
+    b.conv("stem_4.1", "stem_4b")
+    b.conv("spx_4.0.conv", "spx_4a/conv")
+    b.conv("spx_4.1", "spx_4b")
+    _conv2x(b, "spx_2", "spx_2", bn=False)
+    b.raw_conv("spx.0", "spx", deconv=True)
+    _conv2x(b, "spx_2_gru", "spx_2_gru", bn=True)
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    b.conv("conv.conv", "conv/conv")
+    b.raw_conv("desc", "desc")
+    _geo_hourglass(b, "cost_agg", "cost_agg")
+    b.raw_conv("classifier", "classifier")
+    # conv-only hidden/context nets (igev_rt_stereo.py:96-101)
+    b.conv("hnet.0.conv", "hnet0/conv")
+    b.bn("hnet.0.bn", "hnet0/conv")
+    b.raw_conv("hnet.1", "hnet1")
+    b.conv("cnet.conv", "cnet/conv")
+    b.bn("cnet.bn", "cnet/conv")
+    b.raw_conv("context_zqr_conv", "context_zqr_conv")
+    # single-scale update block under the scan module
+    ub = "gru_loop/update_block"
+    for k in ("convc1", "convc2", "convd1", "convd2", "conv"):
+        b.raw_conv(f"update_block.encoder.{k}", f"{ub}/encoder/{k}")
+    for k in ("convz", "convr", "convq"):
+        b.raw_conv(f"update_block.gru.{k}", f"{ub}/gru/{k}")
+    b.raw_conv("update_block.disp_head.conv1", f"{ub}/disp_head/conv1")
+    b.raw_conv("update_block.disp_head.conv2", f"{ub}/disp_head/conv2")
+    b.raw_conv("update_block.mask_feat_4.0", f"{ub}/mask_feat_4")
+    return b.finish()
+
+
+def convert_stereobase(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference StereoBase (stereobase_gru.py:14-213) → flax StereoBase.
+
+    StereoBase builds its stems/stages from common BasicConv2d/BasicDeconv2d
+    (each wrapping a `.block` Sequential of conv[,norm][,act]) rather than
+    the igev submodule classes — only the torch key spelling differs.
+    """
+    b = TreeBuilder(sd)
+    _igev_feature(b, style="stereobase")
+    # stems: BasicConv2d(IN, LeakyReLU) then BasicConv2d(IN, ReLU)
+    b.conv("stem_2.0.block.0", "stem_2a/conv")
+    b.conv("stem_2.1.block.0", "stem_2b")
+    b.conv("stem_4.0.block.0", "stem_4a/conv")
+    b.conv("stem_4.1.block.0", "stem_4b")
+    # superpixel paths (Conv2xUp = BasicDeconv2d + BasicConv2d)
+    b.conv("spx_4.0.block.0", "spx_4a/conv")
+    b.conv("spx_4.1.block.0", "spx_4b")
+    b.conv("spx_2.conv1.block.0", "spx_2/conv1/conv", deconv=True)
+    b.conv("spx_2.conv2.block.0", "spx_2/conv2/conv")
+    b.raw_conv("spx.0", "spx", deconv=True)
+    b.conv("spx_2_gru.conv1.block.0", "spx_2_gru/conv1/conv", deconv=True)
+    b.bn("spx_2_gru.conv1.block.1", "spx_2_gru/conv1/conv")
+    b.conv("spx_2_gru.conv2.block.0", "spx_2_gru/conv2/conv")
+    b.bn("spx_2_gru.conv2.block.1", "spx_2_gru/conv2/conv")
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    # descriptors
+    b.conv("conv.block.0", "conv/conv")
+    b.raw_conv("desc", "desc")
+    # optional concat-volume projection
+    if b.has("concat_conv.0.block.0.weight"):
+        b.conv("concat_conv.0.block.0", "concat_conv0")
+        b.bn("concat_conv.0.block.1", "concat_conv0")
+        b.raw_conv("concat_conv.1", "concat_conv1")
+    # optional interlaced-volume compressor
+    if b.has("build_interlaced_volume.conv3d.0.block.0.weight"):
+        iv = "build_interlaced_volume"
+        for i, f in ((0, "c0"), (1, "c1"), (2, "c2")):
+            b.conv(f"{iv}.conv3d.{i}.block.0", f"{iv}/{f}")
+            b.bn(f"{iv}.conv3d.{i}.block.1", f"{iv}/{f}")
+        b.conv(f"{iv}.volume11.block.0", f"{iv}/volume11")
+        b.bn(f"{iv}.volume11.block.1", f"{iv}/volume11")
+    _geo_hourglass(b, "cost_agg", "cost_agg", style="stereobase")
+    b.raw_conv("classifier", "classifier")
+    _multi_basic_encoder(b, "cnet", "cnet")
+    for i in range(3):
+        b.raw_conv(f"context_zqr_convs.{i}", f"context_zqr{i}")
+    _update_block(b)
+    return b.finish()
+
+
+# =========================================================================
 # registry
 # =========================================================================
 
@@ -358,6 +642,10 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "MSNet3D": convert_msnet3d,
     "MSNet2D": convert_msnet2d,
     "TimmMobileNetV2": convert_timm_mobilenetv2,
+    "IGEV": convert_igev,
+    "IGEVRT": convert_igev_rt,
+    "StereoBase": convert_stereobase,
+    "StereoBaseGRU": convert_stereobase,
 }
 
 

@@ -9,6 +9,8 @@ the whole converted path — every layer, layout rule, BN stat, padding
 convention, interpolation mode, and the soft-argmax head — in one shot.
 """
 
+import contextlib
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -33,16 +35,33 @@ def _inputs(seed=0):
     return left, right
 
 
+@contextlib.contextmanager
+def _float_means_default_dtype():
+    """Make tensor.float() a no-op under f64: the GRU models downcast their
+    lookup pyramids with .float() (reference igev_stereo.py:182,
+    stereobase_gru.py:172-175), which under .double() would mix f32 data
+    with f64 weights and abort; for the f64 oracle run we want full f64."""
+    import torch
+
+    orig = torch.Tensor.float
+    torch.Tensor.float = lambda self: self.to(torch.get_default_dtype())
+    try:
+        yield
+    finally:
+        torch.Tensor.float = orig
+
+
 def _run_ref(model, left, right):
     """Eval-mode reference forward in float64 (CPU): with both sides in f64,
     the comparison tolerance is set by layout/semantics, not accumulation
     noise amplified through softmax+soft-argmax over 192 disparity bins."""
     import torch
 
+    h, w = left.shape[1:3]
     model = model.double().eval()
     torch.set_default_dtype(torch.float64)  # some builders use torch.zeros()
     try:
-        with torch.no_grad():
+        with torch.no_grad(), _float_means_default_dtype():
             out = model({
                 "left": torch.from_numpy(left.transpose(0, 3, 1, 2)).double(),
                 "right": torch.from_numpy(right.transpose(0, 3, 1, 2)).double(),
@@ -50,7 +69,7 @@ def _run_ref(model, left, right):
     finally:
         torch.set_default_dtype(torch.float32)
     d = out["disp_pred"].numpy()
-    return d.reshape(d.shape[0], H, W)
+    return d.reshape(d.shape[0], h, w)
 
 
 def _run_ours(model, variables, left, right):
@@ -66,7 +85,7 @@ def _run_ours(model, variables, left, right):
         )(variables, {"left": np.asarray(left, np.float64),
                       "right": np.asarray(right, np.float64)})
         res = np.asarray(out["disp_pred"])
-    return res.reshape(left.shape[0], H, W)
+    return res.reshape(left.shape[0], left.shape[1], left.shape[2])
 
 
 def _check_tree_matches(variables, model, left, train=False):
@@ -148,6 +167,99 @@ def test_msnet2d_forward_parity():
     ours = MSNet2D(max_disp=192, dtype=jnp.float64)
 
     left, right = _inputs(seed=6)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def _igev_like_inputs(seed, h=128, w=128, scale=1.0, shift=0.0):
+    rng = np.random.RandomState(seed)
+    left = (rng.rand(1, h, w, 3) * scale + shift).astype(np.float32)
+    right = (rng.rand(1, h, w, 3) * scale + shift).astype(np.float32)
+    return left, right
+
+
+def test_igev_forward_parity():
+    """Full IGEV parity: timm trunk (via tests/fake_timm), GEV hourglass,
+    scanned GRU loop with hat-matrix lookups vs grid_sample, superpixel
+    upsample — all in one converted-weight comparison."""
+    import fake_timm
+
+    from openstereo_tpu.models.igev import IGEV
+
+    fake_timm.install()
+    ref_mod = load_ref_module("stereo.modeling.models.igev.igev_stereo")
+    args = NS(MAX_DISP=64, HIDDEN_DIMS=[128, 128, 128], N_GRU_LAYERS=3,
+              N_DOWNSAMPLE=2, SLOW_FAST_GRU=True, CORR_LEVELS=2,
+              CORR_RADIUS=4, TRAIN_ITERS=2, VALID_ITERS=4)
+    tmodel = ref_mod.IGEVStereo(args)
+    _randomize_bn_stats(tmodel, seed=7)
+
+    variables = convert("IGEV", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = IGEV(max_disp=64, train_iters=2, valid_iters=4,
+                dtype=jnp.float64)
+
+    # IGEV takes raw [0,255] images and normalises internally
+    left, right = _igev_like_inputs(seed=8, scale=255.0)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def test_igev_rt_forward_parity():
+    """IGEV-RT parity: gwc→hourglass direct, conv-only context, single GRU."""
+    import fake_timm
+
+    from openstereo_tpu.models.igev_rt import IGEVRT
+
+    fake_timm.install()
+    ref_mod = load_ref_module("stereo.modeling.models.igev_rt.igev_rt_stereo")
+    args = NS(MAX_DISP=64, HIDDEN_DIM=96, N_GRU_LAYERS=3, N_DOWNSAMPLE=2,
+              SLOW_FAST_GRU=True, CORR_LEVELS=2, CORR_RADIUS=4,
+              TRAIN_ITERS=2, VALID_ITERS=4,
+              MIXED_PRECISION=False, PRECISION_DTYPE="float32")
+    tmodel = ref_mod.IGEVRTtereo(args)
+    _randomize_bn_stats(tmodel, seed=11)
+
+    variables = convert(
+        "IGEVRT", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = IGEVRT(max_disp=64, train_iters=2, valid_iters=4, dtype=jnp.float64)
+
+    left, right = _igev_like_inputs(seed=12, scale=255.0)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def test_stereobase_forward_parity():
+    """Full StereoBase (reference flagship) parity: fused gwc+concat volume,
+    channel-wide hourglass, GRU refinement."""
+    import fake_timm
+
+    from openstereo_tpu.models.stereobase import StereoBase
+
+    fake_timm.install()
+    ref_mod = load_ref_module("stereo.modeling.models.stereobase.stereobase_gru")
+    args = NS(MAX_DISP=64, NUM_GROUPS=8, CONCAT_CHANNELS=8,
+              USE_CONCAT_VOLUME=True, USE_GWC_VOLUME=True,
+              USE_SUB_VOLUME=False, USE_INTERLACED_VOLUME=False,
+              HIDDEN_DIMS=[128, 128, 128], N_DOWNSAMPLE=2, N_GRU_LAYERS=3,
+              CORR_RADIUS=4, CORR_LEVELS=2, SLOW_FAST_GRU=False,
+              TRAIN_ITERS=2, EVAL_ITERS=4)
+    tmodel = ref_mod.StereoBase(args)
+    _randomize_bn_stats(tmodel, seed=9)
+
+    variables = convert(
+        "StereoBase", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = StereoBase(max_disp=64, num_groups=8, concat_channels=8,
+                      use_concat_volume=True, slow_fast_gru=False,
+                      train_iters=2, eval_iters=4, dtype=jnp.float64)
+
+    # StereoBase consumes pre-normalised images ([-1,1] via NormalizeImage)
+    left, right = _igev_like_inputs(seed=10, scale=2.0, shift=-1.0)
     _check_tree_matches(variables, ours, left, train=True)
     exp = _run_ref(tmodel, left, right)
     got = _run_ours(ours, variables, left, right)

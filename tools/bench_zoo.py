@@ -31,6 +31,9 @@ ZOO = {
     "AANet": ("AANet", {}, (576, 960)),
     "STTR": ("STTR", {}, (544, 960)),
     "IGEV": ("IGEV", {"valid_iters": 32}, (544, 960)),
+    "StereoBase": ("StereoBase", {"use_concat_volume": True, "concat_channels": 8,
+                                  "slow_fast_gru": False, "eval_iters": 32}, (544, 960)),
+    "IGEV-RT": ("IGEVRT", {"valid_iters": 8}, (544, 960)),
 }
 
 
