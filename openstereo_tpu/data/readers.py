@@ -18,8 +18,18 @@ from PIL import Image
 
 
 def read_image_rgb(path: str) -> np.ndarray:
-    """RGB image as float32 [H,W,3] in [0,255]."""
-    return np.array(Image.open(path).convert("RGB"), dtype=np.float32)
+    """RGB image as float32 [H,W,3] in [0,255].
+
+    cv2's libpng/libjpeg-turbo decoder is ~2-3× faster than PIL's and
+    releases the GIL (the hot path of the input pipeline); PNG decode is
+    lossless so pixels are identical either way. PIL remains the fallback
+    for formats cv2 can't open (e.g. palettized/odd modes)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        return np.array(Image.open(path).convert("RGB"), dtype=np.float32)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
 
 
 def read_pfm(path: str) -> Tuple[np.ndarray, float]:

@@ -213,17 +213,26 @@ class RandomErase:
 
 
 def _adjust_brightness(img, f):
-    return img * f
+    # in-place: the jitter chain owns its float32 working copy, and each
+    # avoided temporary is a ~12 MB allocation on the hot input path
+    img *= np.float32(f)
+    return img
 
 
 def _adjust_contrast(img, f):
-    mean = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).mean()
-    return img * f + mean * (1 - f)
+    # float(mean): a 0-d np.float64 would promote the whole image to f64
+    # (NEP 50), doubling the memory traffic of the hot augmentation path
+    mean = float(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).mean())
+    img *= np.float32(f)
+    img += np.float32(mean * (1 - f))
+    return img
 
 
 def _adjust_saturation(img, f):
     gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
-    return img * f + gray * (1 - f)
+    img *= np.float32(f)
+    img += gray * np.float32(1 - f)
+    return img
 
 
 def _adjust_hue(img, hue_shift):
@@ -263,7 +272,9 @@ class StereoColorJitter:
         ]
         for i in rng.permutation(4):
             img = ops[i](img)
-        return np.clip(img, 0, 255).astype(np.float32)
+        img = np.asarray(img, np.float32)
+        np.clip(img, 0, 255, out=img)
+        return img
 
     def __call__(self, sample):
         rng = _rng(sample)

@@ -21,6 +21,7 @@ from .cfnet import CFNet  # noqa: F401
 from .aanet import AANet  # noqa: F401
 from .stereobase import StereoBase  # noqa: F401
 from .igev_rt import IGEVRT  # noqa: F401
+from .igevpp import IGEVPP  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -228,6 +228,37 @@ class AdaptiveAggregationModule(nn.Module):
         return fused
 
 
+class StereoNetRefinement(nn.Module):
+    """Edge-aware residual refinement from StereoNet — upsample, concat the
+    left image, dilated residual blocks, ReLU'd residual add (reference
+    disp_refinement/disp_refinement.py:32-74). AANet's alternate
+    REFINEMENT_TYPE; unlike StereoDRNet it never warps the right view."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, low_disp, left_img, right_img=None, *, train: bool = False):
+        h, w = left_img.shape[1], left_img.shape[2]
+        scale = w / low_disp.shape[2]
+        if scale == 1.0:
+            disp = low_disp
+        else:
+            disp = resize_bilinear(low_disp[..., None], (h, w))[..., 0] * scale
+
+        x = jnp.concatenate([disp[..., None], left_img], axis=-1)  # [B,H,W,4]
+        y = ConvBlock(32, 3, norm="batch", act=leaky_relu(0.2), dtype=self.dtype,
+                      name="conv")(x, train=train)
+        for bi, dil in enumerate((1, 2, 4, 8, 1, 1)):
+            r = ConvBlock(32, 3, dilation=dil, norm="batch", act=nn.relu,
+                          dtype=self.dtype, name=f"dil{bi}a")(y, train=train)
+            r = ConvBlock(32, 3, dilation=dil, norm="batch", dtype=self.dtype,
+                          name=f"dil{bi}b")(r, train=train)
+            y = nn.relu(y + r)
+        res = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                      name="final")(y)[..., 0]
+        return nn.relu(disp + res)
+
+
 class StereoDRNetRefinement(nn.Module):
     """Warp-error residual refinement (reference submodule.py:717-790)."""
 
@@ -273,6 +304,7 @@ class AANet(nn.Module):
     deformable_groups: int = 2
     num_downsample: int = 2
     no_feature_mdconv: bool = False
+    refinement_type: str = "stereodrnet"  # or 'stereonet' (reference aanet.py:10)
     dtype: Any = jnp.float32
     loss_weights: Sequence[float] = (1 / 3, 2 / 3, 1.0, 1.0, 1.0)
 
@@ -320,7 +352,10 @@ class AANet(nn.Module):
                 hw = (int(left.shape[1] * scale), int(left.shape[2] * scale))
                 li = resize_bilinear(left, hw)
                 ri = resize_bilinear(right, hw)
-            disp = StereoDRNetRefinement(dtype=self.dtype, name=f"refine{i}")(
+            refine_cls = (StereoDRNetRefinement
+                          if self.refinement_type == "stereodrnet"
+                          else StereoNetRefinement)
+            disp = refine_cls(dtype=self.dtype, name=f"refine{i}")(
                 disp, li, ri, train=train)
             disp_pyramid.append(disp)
 

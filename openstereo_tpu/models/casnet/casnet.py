@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ...ops import resize_bilinear, sample_along_w
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..gwcnet.gwcnet import GwcHourglass
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
@@ -288,7 +289,8 @@ class _CascadeBase(nn.Module):
             nd_s = self.ndisps[si] // scale
             samples_s = jax.image.resize(
                 samples / scale, (b, nd_s, h // scale, w // scale), method="trilinear")
-            volume = build_volume(si, feats_l[si], feats_r[si], samples_s)
+            volume = shard_disparity(  # D over mesh 'model' (no-op off-mesh)
+                build_volume(si, feats_l[si], feats_r[si], samples_s))
             preds = CasCostAggregation(self.cr_base_chs[si], dtype=self.dtype,
                                        name=f"cost_agg{si}")(
                 volume, (self.ndisps[si], h, w), samples, train=train)

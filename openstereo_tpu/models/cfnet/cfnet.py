@@ -33,6 +33,7 @@ from ...ops import (
     sample_along_w,
 )
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
@@ -201,15 +202,17 @@ class CFNet(nn.Module):
                              left, data["right"])
 
         md = self.max_disp
-        vol4 = jnp.concatenate([
+        # disparity-dim TP: split each scale's D over the mesh 'model' axis
+        # (no-op off-mesh; see parallel/sharding.py)
+        vol4 = shard_disparity(jnp.concatenate([
             build_gwc_volume(fl["gw4"], fr["gw4"], md // 8, self.num_groups),
-            build_concat_volume(fl["concat_feature4"], fr["concat_feature4"], md // 8)], -1)
-        vol5 = jnp.concatenate([
+            build_concat_volume(fl["concat_feature4"], fr["concat_feature4"], md // 8)], -1))
+        vol5 = shard_disparity(jnp.concatenate([
             build_gwc_volume(fl["gw5"], fr["gw5"], md // 16, self.num_groups),
-            build_concat_volume(fl["concat_feature5"], fr["concat_feature5"], md // 16)], -1)
-        vol6 = jnp.concatenate([
+            build_concat_volume(fl["concat_feature5"], fr["concat_feature5"], md // 16)], -1))
+        vol6 = shard_disparity(jnp.concatenate([
             build_gwc_volume(fl["gw6"], fr["gw6"], md // 32, self.num_groups),
-            build_concat_volume(fl["concat_feature6"], fr["concat_feature6"], md // 32)], -1)
+            build_concat_volume(fl["concat_feature6"], fr["concat_feature6"], md // 32)], -1))
 
         cb3 = lambda f, name: ConvBlock(f, 3, norm="batch", act=mish, ndim=3,  # noqa: E731
                                         dtype=self.dtype, name=name)

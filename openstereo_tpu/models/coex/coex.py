@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from ...ops import context_upsample, correlation_volume, resize_bilinear
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..backbones import MobileNetV2Features
 from ..igev.blocks import BasicConvBN, Conv2x, FeatureAtt
 from ..layers import head_dtype, siamese
@@ -109,7 +110,8 @@ class CoExNet(nn.Module):
         y_ = y_ / (jnp.linalg.norm(y_, axis=-1, keepdims=True) + 1e-12)
         d4 = self.max_disp // 4
         cost = correlation_volume(x_, y_, d4) * hidden  # sum- not mean-product
-        cost = jnp.transpose(cost, (0, 3, 1, 2))[..., None]  # [B,D,H/4,W/4,1]
+        cost = shard_disparity(  # D over mesh 'model' (no-op off-mesh)
+            jnp.transpose(cost, (0, 3, 1, 2))[..., None])  # [B,D,H/4,W/4,1]
 
         # aggregation UNet (reference coex_cost_processor.py:101-240)
         chs = [8] + list(self.aggregation_channels)

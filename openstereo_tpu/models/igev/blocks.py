@@ -96,15 +96,18 @@ class Conv2x(nn.Module):
 
 class FeatureAtt(nn.Module):
     """Gate a [B,D,H,W,Cv] volume by sigmoid(image-feature projection)
-    (reference submodule.py:237-250)."""
+    (reference submodule.py:237-250; IGEV++ uses the InstanceNorm flavor,
+    igevpp/submodule.py:162-175)."""
 
     cv_features: int
+    norm: str = "batch"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cv, feat, *, train: bool = False):
-        a = BasicConvBN(feat.shape[-1] // 2, 1, dtype=self.dtype,
-                        name="att0")(feat, train=train)
+        Basic = BasicConvBN if self.norm == "batch" else BasicConvIN
+        a = Basic(feat.shape[-1] // 2, 1, dtype=self.dtype,
+                  name="att0")(feat, train=train)
         a = nn.Conv(self.cv_features, (1, 1), dtype=self.dtype, name="att1")(a)
         return nn.sigmoid(a)[:, None] * cv  # broadcast over D
 

@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from ...ops import build_gwc_volume, context_upsample, disparity_regression
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from .blocks import (
@@ -204,7 +205,8 @@ class IGEV(nn.Module):
         match_right = desc(conv(feats_r[0], train=train))
 
         d4 = self.max_disp // 4
-        gwc = build_gwc_volume(match_left, match_right, d4, 8)  # [B,D/4,H/4,W/4,8]
+        gwc = shard_disparity(  # D over mesh 'model' (no-op off-mesh)
+            build_gwc_volume(match_left, match_right, d4, 8))  # [B,D/4,H/4,W/4,8]
         # corr_stem: conv3d + BN + LeakyReLU (reference igev_stereo.py:122 —
         # BasicConv defaults bn=True, relu=True)
         gwc = BasicConvBN(8, 3, 1, ndim=3, dtype=self.dtype,

@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from ...ops import build_gwc_volume, context_upsample, disparity_regression
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import masked_l1, masked_smooth_l1
 from ..igev.blocks import BasicConvBN, BasicConvIN, Conv2x, Feature
@@ -153,7 +154,8 @@ class IGEVRT(nn.Module):
         match_right = desc(conv(feats_r[0], train=train))
 
         d4 = self.max_disp // 4
-        gwc = build_gwc_volume(match_left, match_right, d4, 8)
+        gwc = shard_disparity(  # D over mesh 'model' (no-op off-mesh)
+            build_gwc_volume(match_left, match_right, d4, 8))
         geo_volume = GeoHourglass(8, dtype=self.dtype, name="cost_agg")(
             gwc, feats_l, train=train)
 

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from ...ops import build_gwc_volume, disparity_regression
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..layers import (
     ConvBlock,
     DeconvBlock,
@@ -138,7 +139,8 @@ class MSNet3D(nn.Module):
                                      data["left"], data["right"])
 
         d4 = self.max_disp // 4
-        volume = build_gwc_volume(feat_l, feat_r, d4, self.num_groups)
+        volume = shard_disparity(  # D over mesh 'model' (no-op off-mesh)
+            build_gwc_volume(feat_l, feat_r, d4, self.num_groups))
 
         c = self.hourglass_size
         mv2 = lambda name: MobileV2Residual3D(  # noqa: E731

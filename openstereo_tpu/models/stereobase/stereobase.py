@@ -44,6 +44,7 @@ from ...ops import (
     disparity_regression,
 )
 from ...registry import MODELS
+from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from ..igev.blocks import BasicConvIN, Conv2x, Feature, FeatureAtt, MultiBasicEncoder
@@ -198,6 +199,7 @@ class StereoBase(nn.Module):
                     match_left, match_right, d4, train=train))
         cost_volume = (volumes[0] if len(volumes) == 1
                        else jnp.concatenate(volumes, axis=-1))
+        cost_volume = shard_disparity(cost_volume)  # D over mesh 'model'
 
         vc = self.volume_channels
         geo_volume = GeoHourglass(vc, dtype=self.dtype, name="cost_agg")(

@@ -81,6 +81,7 @@ class Trainer:
         mesh=None,
         seed: int = 3407,
         num_workers: int = 2,
+        worker_type: str = "thread",
         logger=None,
     ):
         self.cfg = cfg
@@ -110,11 +111,11 @@ class Trainer:
             self.train_loader = StereoDataLoader(
                 cfg.DATA_CONFIG, global_bs, mode="training", seed=seed,
                 process_index=self.process_index, process_count=self.process_count,
-                num_workers=num_workers)
+                num_workers=num_workers, worker_type=worker_type)
         self.eval_loader = StereoDataLoader(
             cfg.DATA_CONFIG, eval_bs, mode="evaluating", seed=seed,
             process_index=self.process_index, process_count=self.process_count,
-            num_workers=num_workers)
+            num_workers=num_workers, worker_type=worker_type)
 
         self.num_epochs = int(opt.NUM_EPOCHS)
         steps_per_epoch = self.train_loader.steps_per_epoch if self.train_loader else 1

@@ -545,6 +545,73 @@ def convert_igev(sd: Dict[str, np.ndarray]) -> Dict:
     return b.finish()
 
 
+def _pp_hourglass(b: TreeBuilder, tpre: str, fpre: str):
+    """IGEV++ InstanceNorm hourglass (igevpp_stereo.py:22-97): norm carries
+    no params; only conv kernels + the FeatureAtt convs convert."""
+    pairs = [("conv0", "conv0"),
+             ("conv1.0", "conv1a"), ("conv1.1", "conv1b"),
+             ("conv2.0", "conv2a"), ("conv2.1", "conv2b"),
+             ("conv3.0", "conv3a"), ("conv3.1", "conv3b"),
+             ("agg_0.0", "agg0a"), ("agg_0.1", "agg0b"), ("agg_0.2", "agg0c"),
+             ("agg_1.0", "agg1a"), ("agg_1.1", "agg1b"), ("agg_1.2", "agg1c")]
+    for t, f in pairs:
+        b.conv(f"{tpre}.{t}.conv", f"{fpre}/{f}/conv")
+    for t in ("conv3_up", "conv2_up", "conv1_up"):
+        b.conv(f"{tpre}.{t}.conv", f"{fpre}/{t}/conv", deconv=True)
+    for t, f in (("feature_att_4", "att4"), ("feature_att_8", "att8"),
+                 ("feature_att_16", "att16"), ("feature_att_32", "att32"),
+                 ("feature_att_up_16", "att_up16"),
+                 ("feature_att_up_8", "att_up8")):
+        b.conv(f"{tpre}.{t}.feat_att.0.conv", f"{fpre}/{f}/att0/conv")
+        b.raw_conv(f"{tpre}.{t}.feat_att.1", f"{fpre}/{f}/att1")
+
+
+def convert_igevpp(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference IGEVPPStereo (igevpp_stereo.py:99-295) → flax IGEVPP."""
+    b = TreeBuilder(sd)
+    _igev_feature(b)
+    b.conv("stem_2.0.conv", "stem_2a/conv")
+    b.conv("stem_2.1", "stem_2b")
+    b.conv("stem_4.0.conv", "stem_4a/conv")
+    b.conv("stem_4.1", "stem_4b")
+    b.conv("spx_4.0.conv", "spx_4a/conv")
+    b.conv("spx_4.1", "spx_4b")
+    _conv2x(b, "spx_2", "spx_2", bn=False)
+    b.raw_conv("spx.0", "spx", deconv=True)
+    _conv2x(b, "spx_2_gru", "spx_2_gru", bn=False)  # IN flavor in IGEV++
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    b.conv("conv.conv", "conv/conv")
+    b.raw_conv("desc", "desc")
+    b.raw_conv("patch0", "patch0")
+    b.raw_conv("patch1", "patch1")
+    for i in range(3):
+        _pp_hourglass(b, f"cost_agg{i}", f"cost_agg{i}")
+    b.raw_conv("classifier", "classifier")
+    # selective fusion
+    b.conv("disp_conv.0.conv", "disp_conv0/conv")
+    b.conv("disp_conv.1.conv", "disp_conv1/conv")
+    b.conv("selective_conv.0.conv", "selective_conv0/conv")
+    b.conv("selective_conv.1.conv", "selective_conv1/conv")
+    b.raw_conv("selective_conv.2", "selective_conv2")
+    _multi_basic_encoder(b, "cnet", "cnet")
+    for i in range(3):
+        b.raw_conv(f"context_zqr_convs.{i}", f"context_zqr{i}")
+    # update block: geo encoders + disp encoder + 3 GRUs
+    ub = "gru_loop/update_block"
+    for g in ("geo_encoder0", "geo_encoder1", "geo_encoder2"):
+        b.raw_conv(f"update_block.{g}.convg1", f"{ub}/{g}/convg1")
+        b.raw_conv(f"update_block.{g}.convg2", f"{ub}/{g}/convg2")
+    for k in ("convc1", "convc2", "convd1", "convd2", "conv"):
+        b.raw_conv(f"update_block.encoder.{k}", f"{ub}/encoder/{k}")
+    for g in ("gru04", "gru08", "gru16"):
+        for k in ("convz", "convr", "convq"):
+            b.raw_conv(f"update_block.{g}.{k}", f"{ub}/{g}/{k}")
+    b.raw_conv("update_block.disp_head.conv1", f"{ub}/disp_head/conv1")
+    b.raw_conv("update_block.disp_head.conv2", f"{ub}/disp_head/conv2")
+    b.raw_conv("update_block.mask_feat_4.0", f"{ub}/mask_feat_4")
+    return b.finish()
+
+
 def convert_igev_rt(sd: Dict[str, np.ndarray]) -> Dict:
     """Reference IGEVRTtereo (igev_rt_stereo.py:89-242) → flax IGEVRT."""
     b = TreeBuilder(sd)
@@ -644,6 +711,7 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "TimmMobileNetV2": convert_timm_mobilenetv2,
     "IGEV": convert_igev,
     "IGEVRT": convert_igev_rt,
+    "IGEVPP": convert_igevpp,
     "StereoBase": convert_stereobase,
     "StereoBaseGRU": convert_stereobase,
 }

@@ -78,6 +78,32 @@ def test_train_loader_shapes_and_determinism(synth_root):
     assert not np.array_equal(b1[0]["left"], b3[0]["left"])
 
 
+def test_worker_layouts_identical_batches(synth_root):
+    """Per-sample RNG is (seed, epoch, index)-derived, so serial, threaded
+    and fork-process workers must all produce byte-identical batches —
+    including the batch-uniform crop plan, which now travels explicitly
+    with each task instead of relying on shared RandomCrop state."""
+    root, split = synth_root
+    cfg = _data_cfg(root, split)
+    cfg.DATA_TRANSFORM["BATCH_UNIFORM"] = True
+    cfg.DATA_TRANSFORM["RANDOM_TYPE"] = "range"
+    cfg.DATA_TRANSFORM["H_RANGE"] = [0.5, 1.0]
+    cfg.DATA_TRANSFORM["W_RANGE"] = [0.5, 1.0]
+
+    def run(**kw):
+        loader = StereoDataLoader(cfg, batch_size=2, mode="training", seed=7, **kw)
+        return list(loader.epoch(epoch=2))
+
+    ref = run(num_workers=1)
+    for kw in ({"num_workers": 4, "worker_type": "thread"},
+               {"num_workers": 2, "worker_type": "process"}):
+        got = run(**kw)
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            for k in ("left", "right", "disp", "index"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=str(kw))
+
+
 def test_eval_loader_pads_to_static_shape(synth_root):
     root, split = synth_root
     cfg = _data_cfg(root, split)

@@ -127,6 +127,26 @@ def test_stereobase_volume_options():
     assert out["disp_pred"].shape == data["disp"].shape
 
 
+def test_igevpp_forward():
+    from openstereo_tpu.models.igevpp import IGEVPP
+
+    # scaled-down ranges: every carved volume keeps D≥8 bins for the
+    # 3-level hourglass (full d4=32; S=16 bins, M=16→8 pooled, L=32→8)
+    model = IGEVPP(max_disp=128, s_disp_range=16, s_disp_interval=1,
+                   m_disp_range=16, m_disp_interval=2,
+                   l_disp_range=32, l_disp_interval=4,
+                   train_iters=2, valid_iters=3)
+    data = _data(b=1, h=64, w=128)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+    out, _ = model.apply(variables, data, train=True, mutable=["batch_stats"])
+    assert out["disp_pred"].shape == data["disp"].shape
+    assert len(out["init_disp"]) == 3 and len(out["disp_preds"]) == 2
+    loss, _ = model.get_loss(out, data)
+    assert np.isfinite(float(loss))
+    oe = model.apply(variables, data, train=False)
+    assert oe["disp_pred"].shape == data["disp"].shape
+
+
 def test_igev_rt_forward():
     from openstereo_tpu.models.igev_rt import IGEVRT
 
@@ -213,6 +233,17 @@ def test_cfnet_forward():
     assert np.isfinite(float(loss))
     ev = model.apply(variables, data, train=False)
     assert ev["disp_pred"].shape == data["disp"].shape
+
+
+def test_aanet_stereonet_refinement_forward():
+    """AANet's alternate REFINEMENT_TYPE (reference disp_refinement.py:32)."""
+    from openstereo_tpu.models.aanet import AANet
+
+    model = AANet(max_disp=48, refinement_type="stereonet")
+    data = _data(h=48, w=96)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=False))(data)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, data)
+    assert out["disp_pred"].shape == data["disp"].shape
 
 
 def test_aanet_forward():

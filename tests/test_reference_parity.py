@@ -208,6 +208,39 @@ def test_igev_forward_parity():
     np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
 
 
+def test_igevpp_forward_parity():
+    """IGEV++ parity: multi-range carved volumes, IN hourglasses, selective
+    fusion, 3-scale GRU with geo encoders."""
+    import fake_timm
+
+    from openstereo_tpu.models.igevpp import IGEVPP
+
+    fake_timm.install()
+    ref_mod = load_ref_module("stereo.modeling.models.igevpp.igevpp_stereo")
+    args = NS(MAX_DISP=128, S_DISP_RANGE=16, S_DISP_INTERVAL=1,
+              M_DISP_RANGE=16, M_DISP_INTERVAL=2,
+              L_DISP_RANGE=32, L_DISP_INTERVAL=4,
+              HIDDEN_DIMS=[128, 128, 128], N_GRU_LAYERS=3, N_DOWNSAMPLE=2,
+              SLOW_FAST_GRU=True, CORR_LEVELS=2, CORR_RADIUS=4,
+              TRAIN_ITERS=2, VALID_ITERS=4,
+              MIXED_PRECISION=False, PRECISION_DTYPE="float32")
+    tmodel = ref_mod.IGEVPPStereo(args)
+    _randomize_bn_stats(tmodel, seed=13)
+
+    variables = convert(
+        "IGEVPP", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = IGEVPP(max_disp=128, s_disp_range=16, s_disp_interval=1,
+                  m_disp_range=16, m_disp_interval=2,
+                  l_disp_range=32, l_disp_interval=4,
+                  train_iters=2, valid_iters=4, dtype=jnp.float64)
+
+    left, right = _igev_like_inputs(seed=14, scale=255.0)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
 def test_igev_rt_forward_parity():
     """IGEV-RT parity: gwc→hourglass direct, conv-only context, single GRU."""
     import fake_timm

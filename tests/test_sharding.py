@@ -30,24 +30,58 @@ def test_shard_disparity_splits_d_axis():
     np.testing.assert_array_equal(np.asarray(out), 2.0)
 
 
-def test_gwcnet_volume_sharded_end_to_end():
-    """GwcNet forward under a ('data','model') mesh compiles and runs with the
-    in-model D constraint active."""
-    from openstereo_tpu.models.gwcnet import GwcNet
-
+def _eval_under_mesh(model, h=32, w=64, b=4):
+    """Jit an eval forward under a ('data','model') mesh: DP×TP eval path."""
     mesh = make_mesh(data=4, model=2)
-    model = GwcNet(max_disp=32, num_groups=8, use_concat_volume=False)
     rng = np.random.RandomState(0)
     data = {
-        "left": jnp.asarray(rng.rand(4, 32, 64, 3), jnp.float32),
-        "right": jnp.asarray(rng.rand(4, 32, 64, 3), jnp.float32),
+        "left": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "right": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
     }
     with jax.set_mesh(mesh):
         data = {k: jax.device_put(v, jax.NamedSharding(mesh, P("data")))
                 for k, v in data.items()}
         variables = jax.jit(
-            lambda b: model.init(jax.random.key(0), b, train=False))(data)
-        out = jax.jit(lambda b: model.apply(variables, b, train=False))(data)
+            lambda bt: model.init(jax.random.key(0), bt, train=False))(data)
+        out = jax.jit(lambda bt: model.apply(variables, bt, train=False))(data)
         disp = jax.device_get(out["disp_pred"])
-    assert disp.shape == (4, 32, 64)
+    assert disp.shape == (b, h, w)
     assert np.isfinite(disp).all()
+
+
+def test_gwcnet_volume_sharded_end_to_end():
+    """GwcNet forward under a ('data','model') mesh compiles and runs with the
+    in-model D constraint active."""
+    from openstereo_tpu.models.gwcnet import GwcNet
+
+    _eval_under_mesh(GwcNet(max_disp=32, num_groups=8, use_concat_volume=False))
+
+
+def test_msnet3d_volume_sharded_end_to_end():
+    from openstereo_tpu.models.msnet import MSNet3D
+
+    _eval_under_mesh(MSNet3D(max_disp=32))
+
+
+def test_coex_volume_sharded_end_to_end():
+    from openstereo_tpu.models.coex import CoExNet
+
+    _eval_under_mesh(CoExNet(max_disp=32))
+
+
+def test_igev_scan_sharded_end_to_end():
+    """IGEV: the D-sharded volume feeds the scanned GRU loop's lookups —
+    the likeliest shape to break under sharding (resharding at the
+    transpose into [B,H,W,C,D] lookup layout must compile cleanly)."""
+    from openstereo_tpu.models.igev import IGEV
+
+    _eval_under_mesh(IGEV(max_disp=32, train_iters=2, valid_iters=2),
+                     h=64, w=64)
+
+
+def test_stereobase_sharded_end_to_end():
+    from openstereo_tpu.models.stereobase import StereoBase
+
+    _eval_under_mesh(StereoBase(max_disp=32, use_concat_volume=True,
+                                concat_channels=8, train_iters=2,
+                                eval_iters=2), h=64, w=64)

@@ -37,6 +37,25 @@ ZOO = {
 }
 
 
+# per-chip peaks (bf16 FLOP/s, HBM bytes/s) for roofline accounting
+_CHIP_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),   # v5e
+    "TPU v5": (459e12, 2765e9),       # v5p
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),  # v6e (Trillium)
+}
+
+
+def _peak_specs():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in _CHIP_PEAKS.items():
+        if kind.startswith(k):
+            return v
+    return _CHIP_PEAKS["TPU v5 lite"]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="*", default=list(ZOO))
@@ -72,9 +91,13 @@ def main():
                            for x in jax.tree.leaves(variables["params"]))
             # variables as an argument, not a closure: closed-over arrays
             # inline as HLO literals, blowing the compile payload for big
-            # models (FADNet's 124M params → HTTP 413 on remote compile)
+            # models (FADNet's 124M params → HTTP 413 on remote compile).
+            # AOT lower+compile once: the compiled executable serves both the
+            # timing loop and the roofline cost analysis (a second jit-trace
+            # would recompile through the remote tunnel).
             fwd_v = jax.jit(lambda v, b: model.apply(v, b, train=False)["disp_pred"])
-            fwd = lambda b: fwd_v(variables, b)  # noqa: E731
+            compiled = fwd_v.lower(variables, data).compile()
+            fwd = lambda b: compiled(variables, b)  # noqa: E731
             # force a full device round-trip: on remote-attached TPUs
             # block_until_ready can return before the first execution has
             # actually finished; np.asarray is the reliable barrier
@@ -111,7 +134,34 @@ def main():
                 "compile_s": round(compile_s, 1),
                 "device": str(jax.devices()[0]),
             }
-            print(f"{name:16s} {n_params/1e6:7.2f}M  {ms:8.2f} ms  {1e3/ms:7.1f} fps")
+            # roofline accounting: XLA cost analysis gives model FLOPs and
+            # HBM bytes; attainable time = max(flops/peak_flops,
+            # bytes/peak_bw) — the achieved fraction says which rows are at
+            # their roofline and which leave performance on the table
+            try:
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0))
+                byts = float(ca.get("bytes accessed", 0.0))
+                peak_flops, peak_bw = _peak_specs()
+                t_roof_s = max(flops / peak_flops, byts / peak_bw)
+                results[name].update({
+                    "gflops": round(flops / 1e9, 1),
+                    "hbm_gb": round(byts / 1e9, 3),
+                    "achieved_tflops": round(flops / (ms / 1e3) / 1e12, 2),
+                    "mfu_pct": round(flops / (ms / 1e3) / peak_flops * 100, 2),
+                    "bound": ("compute" if flops / peak_flops >= byts / peak_bw
+                              else "bandwidth"),
+                    "roofline_ms": round(t_roof_s * 1e3, 2),
+                    "roofline_pct": round(t_roof_s / (ms / 1e3) * 100, 1),
+                })
+            except Exception as e:  # cost analysis unavailable → skip columns
+                results[name]["cost_analysis_error"] = str(e)[:120]
+            r = results[name]
+            print(f"{name:16s} {n_params/1e6:7.2f}M  {ms:8.2f} ms  "
+                  f"{1e3/ms:7.1f} fps  "
+                  f"{r.get('mfu_pct', '?'):>6}% MFU  "
+                  f"{r.get('roofline_pct', '?'):>5}% of {r.get('bound', '?')} roof")
         except Exception as e:  # keep sweeping
             results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"{name:16s} FAILED: {type(e).__name__}: {e}")

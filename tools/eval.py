@@ -20,6 +20,7 @@ def main():
     p.add_argument("--run_dir", default="output/eval")
     p.add_argument("--ckpt", type=int, default=None)
     p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--worker_type", choices=["thread", "process"], default="thread")
     p.add_argument("--model_par", type=int, default=1)
     p.add_argument("--dist", action="store_true")
     args = p.parse_args()
@@ -41,7 +42,7 @@ def main():
 
     mesh = make_mesh(model=args.model_par)
     trainer = Trainer(cfg, args.run_dir, run_mode="eval", mesh=mesh,
-                      num_workers=args.workers)
+                      num_workers=args.workers, worker_type=args.worker_type)
     if args.ckpt is None or args.ckpt >= 0:
         trainer.resume_ckpt(args.ckpt)
     trainer.evaluate(0)

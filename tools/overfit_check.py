@@ -48,7 +48,11 @@ def main():
     p.add_argument("--size", type=int, nargs=2, default=[192, 384])
     p.add_argument("--max_disp", type=int, default=64)
     p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--kwargs", default="{}",
+                   help='extra model kwargs as JSON, e.g. \'{"s_disp_range":16}\'')
     args = p.parse_args()
+    import json as _json
+    extra_kwargs = _json.loads(args.kwargs)
 
     import jax
     import jax.numpy as jnp
@@ -68,8 +72,18 @@ def main():
         "right": jnp.asarray(np.stack([(s[1] / 255 - mean) / std for s in samples])),
         "disp": jnp.asarray(np.stack([s[2] for s in samples])),
     }
+    if args.model == "STTR":
+        # STTR's loss needs occlusion GT; the stereogram's disparity gives
+        # exact border occlusion (reference _left_border_occ semantics:
+        # a left pixel with x - disp < 0 has no right correspondence)
+        disp_np = np.stack([s[2] for s in samples])
+        xs = np.arange(w, dtype=np.float32)[None, None, :]
+        batch["occ_mask"] = jnp.asarray((xs - disp_np < 0).astype(np.float32))
+        batch["occ_mask_right"] = jnp.asarray(
+            (xs + disp_np >= w).astype(np.float32))
 
-    model = MODELS.get(args.model)(max_disp=args.max_disp, dtype=jnp.bfloat16)
+    model = MODELS.get(args.model)(max_disp=args.max_disp, dtype=jnp.bfloat16,
+                                   **extra_kwargs)
     variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(batch)
     tx = optax.chain(optax.clip(0.1), optax.adamw(args.lr))
     state = TrainState.create(apply_fn=model.apply, params=variables["params"],

@@ -25,6 +25,7 @@ def parse_args():
     p.add_argument("--save_root", default="output")
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--worker_type", choices=["thread", "process"], default="thread")
     p.add_argument("--ckpt", type=int, default=None,
                    help="resume epoch; latest if omitted and ckpts exist")
     p.add_argument("--model_par", type=int, default=1,
@@ -71,7 +72,7 @@ def main():
     set_random_seed(args.seed + jax.process_index())
     mesh = make_mesh(model=args.model_par)
     trainer = Trainer(cfg, run_dir_for(args, cfg), run_mode="train", mesh=mesh,
-                      seed=args.seed, num_workers=args.workers)
+                      seed=args.seed, num_workers=args.workers, worker_type=args.worker_type)
     if args.ckpt is None or args.ckpt >= 0:
         trainer.resume_ckpt(args.ckpt)
     trainer.train()
