@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import resize_bilinear, sample_along_w
+from ...ops import resize_bilinear, resize_linear_torch, sample_along_w
 from ...registry import MODELS
 from ...parallel.sharding import shard_disparity
 from ..gwcnet.gwcnet import GwcHourglass
@@ -66,8 +66,11 @@ def disp_range_samples(cur_disp, ndisp: int, interval: float, shape,
         step = (hi - lo) / (ndisp - 1)
         return lo[:, None] + steps * step[:, None]
     # neighbourhood search at 1/4 res with ndisp//4 samples, then upsample
-    small = resize_bilinear((cur_disp / 4.0)[..., None], (h // 4, w // 4))[..., 0]
-    lo = -max_pool_same(-small, ns_size)
+    small = resize_linear_torch((cur_disp / 4.0)[..., None],
+                                (h // 4, w // 4), axes=(1, 2))[..., 0]
+    # reference takes |min-pool| (submodule.py:116-117) — sign-flips any
+    # negative neighbourhood minimum; reproduced exactly
+    lo = jnp.abs(max_pool_same(-small, ns_size))
     hi = max_pool_same(small, ns_size)
     comp = jnp.clip(ndisp // 4 * interval - (hi - lo), 0.0) / 2.0
     lo = jnp.clip(lo - comp, 0.0, max_disp)
@@ -75,20 +78,29 @@ def disp_range_samples(cur_disp, ndisp: int, interval: float, shape,
     nd4 = ndisp // 4
     step = (hi - lo) / (nd4 - 1)
     samples4 = lo[:, None] + jnp.arange(nd4, dtype=jnp.float32).reshape(1, -1, 1, 1) * step[:, None]
-    return jax.image.resize(samples4, (b, ndisp, h, w), method="trilinear")
+    # the search ran on cur_disp/4 at 1/4 resolution — scale the sample
+    # values back to full-resolution disparity units when upsampling
+    # (reference submodule.py:135-137: interpolate(disp_range_samples * 4.0))
+    return resize_linear_torch(samples4 * 4.0, (ndisp, h, w), axes=(1, 2, 3))
 
 
 def build_warped_concat_volume(x: jnp.ndarray, y: jnp.ndarray,
-                               samples: jnp.ndarray) -> jnp.ndarray:
-    """[B,H,W,C] ×2 + samples [B,D,H,W] → [B,D,H,W,2C] (cas_psm GetCostVolume).
+                               samples: jnp.ndarray,
+                               zero_left: bool = False) -> jnp.ndarray:
+    """[B,H,W,C] ×2 + samples [B,D,H,W] → [B,D,H,W,2C].
 
-    Left features are repeated along D (reference keeps them un-zeroed,
-    cas_psm.py:310-316); warped right features are zero outside the frame.
+    Left features are repeated along D; warped right features are zero
+    outside the frame. The two cascade flavors differ on the left half:
+    cas_psm keeps it un-zeroed everywhere (cas_psm.py:310-316 "a littel
+    difference, no zeros filling"), cas_gwc zeroes it where the match falls
+    out of frame (cas_gwc.py:284-290) — `zero_left` selects.
     """
     d = samples.shape[1]
     xs = jnp.broadcast_to(x[:, None], (x.shape[0], d, *x.shape[1:]))
-    pos = jnp.arange(x.shape[2], dtype=samples.dtype)[None, None, None, :] - samples
-    ys = sample_along_w(y, pos)
+    mw = jnp.arange(x.shape[2], dtype=samples.dtype)[None, None, None, :]
+    if zero_left:
+        xs = jnp.where((mw < samples)[..., None], 0.0, xs)
+    ys = sample_along_w(y, mw - samples)
     return jnp.concatenate([xs, ys], axis=-1)
 
 
@@ -137,7 +149,7 @@ class CasCostAggregation(nn.Module):
 
         def regress(cost):
             cost = cost[..., 0].astype(head_dtype(self.dtype))
-            cost = jax.image.resize(cost, (bsz, fd, fh, fw), method="trilinear")
+            cost = resize_linear_torch(cost, (fd, fh, fw), axes=(1, 2, 3))
             prob = nn.softmax(cost, axis=1)
             return regression_with_samples(prob, samples)
 
@@ -287,8 +299,8 @@ class _CascadeBase(nn.Module):
                 cur, self.ndisps[si], self.disp_interval_pixel[si], (b, h, w),
                 float(self.max_disp), self.using_ns, self.ns_size)
             nd_s = self.ndisps[si] // scale
-            samples_s = jax.image.resize(
-                samples / scale, (b, nd_s, h // scale, w // scale), method="trilinear")
+            samples_s = resize_linear_torch(
+                samples / scale, (nd_s, h // scale, w // scale), axes=(1, 2, 3))
             volume = shard_disparity(  # D over mesh 'model' (no-op off-mesh)
                 build_volume(si, feats_l[si], feats_r[si], samples_s))
             preds = CasCostAggregation(self.cr_base_chs[si], dtype=self.dtype,
@@ -351,7 +363,7 @@ class CasGwcNet(_CascadeBase):
 
         def build_volume(si, fl, fr, samples_s):
             gwc = build_warped_gwc_volume(fl[0], fr[0], samples_s, self.num_groups[si])
-            cat = build_warped_concat_volume(fl[1], fr[1], samples_s)
+            cat = build_warped_concat_volume(fl[1], fr[1], samples_s, zero_left=True)
             return jnp.concatenate([gwc, cat], axis=-1)
 
         return self._run_cascade(data, feats_l, feats_r, build_volume, train)

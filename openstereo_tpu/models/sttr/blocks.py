@@ -90,8 +90,10 @@ class DenseBlockIN(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         def instance_norm(v, name):
-            return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                                use_scale=False, dtype=self.dtype, name=name)(v)
+            # epsilon matches torch nn.InstanceNorm2d (1e-5, not flax's 1e-6)
+            return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                                use_bias=False, use_scale=False,
+                                dtype=self.dtype, name=name)(v)
 
         feats = x
         for i in range(self.num_layers):
@@ -125,8 +127,9 @@ class TransitionUp(nn.Module):
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2), padding="VALID",
                              use_bias=self.scale == 2, dtype=self.dtype, name="up1")(x)
         if self.scale == 4:
-            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                             use_scale=False, dtype=self.dtype, name="in")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                             use_bias=False, use_scale=False, dtype=self.dtype,
+                             name="in")(x)
             x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
                                  padding="VALID", use_bias=True, dtype=self.dtype,
                                  name="up2")(x)

@@ -168,19 +168,30 @@ class STTR(nn.Module):
         phi = self.param("phi", nn.initializers.zeros, ())
         attn_ot = optimal_transport(attn_raw, phi, iters=10)  # [N,H',W'+1,W'+1]
 
+        # the reference clamps the 3-px window norm with the GT occlusion
+        # mask whenever the sample carries one — at eval as well as train
+        # (regression_head.py:258-279 sets occ_mask from x in both branches)
         occ_mask_s = None
-        if "occ_mask" in data and train:
+        if "occ_mask" in data:
             occ_mask_s = data["occ_mask"][:, off::ds, off::ds] if ds > 0 else data["occ_mask"]
 
         disp_low, matched = low_res_disp(attn_ot[..., :-1, :-1], occ_mask_s)
         occ_low = 1.0 - matched
 
-        # upsample (nearest) + context adjustment (reference regression_head.py:105-142)
-        disp_up = jax.image.resize(disp_low * scale, (bs, h, w), method="nearest")
-        occ_up = jax.image.resize(occ_low, (bs, h, w), method="nearest")
+        # upsample (nearest) + context adjustment (reference regression_head.py:105-142).
+        # torch F.interpolate(mode='nearest') picks src = floor(dst·in/out);
+        # jax.image.resize rounds half-pixel centers — different pixels at
+        # block boundaries, so index explicitly
+        def nearest_up(x):
+            hi = jnp.floor(jnp.arange(h) * (x.shape[1] / h)).astype(jnp.int32)
+            wi = jnp.floor(jnp.arange(w) * (x.shape[2] / w)).astype(jnp.int32)
+            return x[:, hi][:, :, wi]
+
+        disp_up = nearest_up(disp_low * scale)
+        occ_up = nearest_up(occ_low)
 
         mean_d = jnp.mean(disp_up)
-        std_d = jnp.std(disp_up) + _EPS
+        std_d = jnp.std(disp_up, ddof=1) + _EPS  # torch .std() is Bessel-corrected
         disp_n = ((disp_up - mean_d) / std_d)[..., None]
         occ_n = ((occ_up - 0.5) / 0.5)[..., None]
         cal = ContextAdjustmentLayer(self.cal_num_blocks, self.cal_feat_dim,

@@ -29,13 +29,18 @@ def sine_pos_encoding(w: int, channels: int, scale: float = 1.0) -> jnp.ndarray:
 
     Distances run from (w-1)·scale down to (1-w)·scale; sin/cos interleaved.
     """
-    x_embed = np.linspace((w - 1) * scale, -(w - 1) * scale, 2 * w - 1, dtype=np.float32)
-    dim_t = np.arange(channels, dtype=np.float32)
+    # build in f64 (numpy default) and cast at the end: the table is
+    # computed once at trace time, and f32 rounding of the large position
+    # arguments would cost ~1e-5 absolute error in the sines
+    x_embed = np.linspace((w - 1) * scale, -(w - 1) * scale, 2 * w - 1)
+    dim_t = np.arange(channels, dtype=np.float64)
     dim_t = 10000.0 ** (2 * (dim_t // 2) / channels)
     pos = x_embed[:, None] / dim_t[None, :]
     out = np.empty_like(pos)
     out[:, 0::2] = np.sin(pos[:, 0::2])
     out[:, 1::2] = np.cos(pos[:, 1::2])
+    # jnp.asarray keeps f64 only under enable_x64 (the parity oracles);
+    # in normal f32 mode it downcasts to f32 — callers .astype(dtype) anyway
     return jnp.asarray(out)
 
 
@@ -136,7 +141,7 @@ class SelfAttnLayer(nn.Module):
 
     @nn.compact
     def __call__(self, feat, pos_table):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(feat)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(feat)
         y, _ = MultiheadAttentionRelative(self.hidden_dim, self.nhead,
                                           use_pallas=self.use_pallas,
                                           dtype=self.dtype, name="self_attn")(
@@ -156,7 +161,7 @@ class CrossAttnLayer(nn.Module):
     @nn.compact
     def __call__(self, feat_left, feat_right, pos_table, pos_table_flipped,
                  last_layer: bool):
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         attn = MultiheadAttentionRelative(self.hidden_dim, self.nhead,
                                           use_pallas=self.use_pallas,
                                           dtype=self.dtype, name="cross_attn")
@@ -167,7 +172,7 @@ class CrossAttnLayer(nn.Module):
                             pos_table=pos_table_flipped, need_raw=False)
         feat_right = feat_right + upd_right
 
-        right2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(feat_right)
+        right2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(feat_right)
         upd_left, raw_attn = attn(left2, right2, right2, pos_table=pos_table,
                                   masked_last=last_layer,
                                   need_raw=last_layer)

@@ -68,6 +68,41 @@ def _interp_matrix_ac(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
     return mat
 
 
+def _interp_matrix_hp(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n_out, n_in] linear-interpolation matrix with half-pixel centers and
+    NO antialiasing (torch F.interpolate(align_corners=False) semantics).
+
+    jax.image.resize widens its triangle kernel when downsampling
+    (antialiasing); torch interpolates with a fixed 2-tap kernel at any
+    scale, clamping out-of-range taps to the border. Pure interpolation is
+    required wherever parity with a torch `F.interpolate` downsample
+    matters (e.g. the cascade models' sample-grid pyramid)."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    pos = jnp.clip(pos, 0.0, n_in - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    frac = pos - lo.astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    mat = jnp.zeros((n_out, n_in), dtype)
+    mat = mat.at[rows, lo].set((1.0 - frac).astype(dtype))
+    mat = mat.at[rows, lo + 1].add(frac.astype(dtype))
+    return mat
+
+
+def resize_linear_torch(x: jnp.ndarray, sizes, axes) -> jnp.ndarray:
+    """N-linear resize, half-pixel centers, no antialiasing — exact torch
+    F.interpolate(mode='bilinear'/'trilinear', align_corners=False) at any
+    scale, as per-axis banded matmuls (MXU-friendly)."""
+    for ax, n_out in zip(axes, sizes):
+        n_in = x.shape[ax]
+        if n_in == n_out:
+            continue
+        mat = _interp_matrix_hp(n_in, n_out, x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(mat, x, axes=(1, ax)), 0, ax)
+    return x
+
+
 def resize_linear_align_corners(x: jnp.ndarray, sizes, axes) -> jnp.ndarray:
     """N-linear resize with align_corners=True along `axes`.
 

@@ -365,6 +365,267 @@ def convert_timm_mobilenetv2(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 # =========================================================================
+# LightStereo (reference stereo/modeling/models/lightstereo/)
+# =========================================================================
+
+def _ls_trunk(b: TreeBuilder, tpre: str, fpre: str):
+    """LightStereo Backbone's timm re-slice (reference backbone.py:41-48):
+    block0..2 = blocks[0..2], block3 = Sequential(blocks[3:5]), block4 =
+    blocks[5] — one fewer Sequential level than the IGEV slicing."""
+    b.conv(f"{tpre}.conv_stem", f"{fpre}/stem")
+    b.bn(f"{tpre}.bn1", f"{fpre}/stem")
+    ds = f"{tpre}.block0.0"
+    b.conv(f"{ds}.conv_dw", f"{fpre}/stage0_block0/dw")
+    b.bn(f"{ds}.bn1", f"{fpre}/stage0_block0/dw")
+    b.conv(f"{ds}.conv_pw", f"{fpre}/stage0_block0/pw_linear")
+    b.bn(f"{ds}.bn2", f"{fpre}/stage0_block0/pw_linear")
+    layout = {"block1": [(1, 2)], "block2": [(2, 3)],
+              "block3": [(3, 4), (4, 3)], "block4": [(5, 3)]}
+    for blk, stages in layout.items():
+        for si, n in stages:
+            # slicing nn.Sequential keeps the original child names, so
+            # block3 (= blocks[3:5]) exposes sub-Sequentials "3" and "4"
+            mid = f".{si}" if blk == "block3" else ""
+            for bi in range(n):
+                t, f = f"{tpre}.{blk}{mid}.{bi}", f"{fpre}/stage{si}_block{bi}"
+                b.conv(f"{t}.conv_pw", f"{f}/pw")
+                b.bn(f"{t}.bn1", f"{f}/pw")
+                b.conv(f"{t}.conv_dw", f"{f}/dw")
+                b.bn(f"{t}.bn2", f"{f}/dw")
+                b.conv(f"{t}.conv_pwl", f"{f}/pw_linear")
+                b.bn(f"{t}.bn3", f"{f}/pw_linear")
+
+
+def _mv2_residual(b: TreeBuilder, tpre: str, fpre: str):
+    """MobileV2Residual (reference lightstereo/aggregation.py:67-105)."""
+    b.convbn(f"{tpre}.pwconv", f"{fpre}/pw")
+    b.convbn(f"{tpre}.dwconv", f"{fpre}/dw")
+    b.convbn(f"{tpre}.pwliner", f"{fpre}/pw_linear")
+
+
+def _ls_attention(b: TreeBuilder, tpre: str, fpre: str):
+    """AttentionModule strip convs (reference aggregation.py:108-134)."""
+    b.raw_conv(f"{tpre}.conv0", f"{fpre}/proj")
+    for f, t in (("strip7", "0"), ("strip11", "1"), ("strip21", "2")):
+        b.raw_conv(f"{tpre}.conv{t}_1", f"{fpre}/{f}_h")
+        b.raw_conv(f"{tpre}.conv{t}_2", f"{fpre}/{f}_v")
+    b.raw_conv(f"{tpre}.conv3", f"{fpre}/out")
+
+
+def _ls_fpn(b: TreeBuilder, tpre: str, fpre: str):
+    """FPNLayer: BasicDeconv2d + BasicConv2d, both BN (backbone.py:11-27)."""
+    b.convbn(f"{tpre}.deconv.block", f"{fpre}/deconv", deconv=True)
+    b.convbn(f"{tpre}.conv.block", f"{fpre}/conv")
+
+
+def convert_lightstereo(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference LightStereo (lightstereo.py:12-70) → flax LightStereo.
+
+    Works for S/M/L (MobileNetV2 trunk); the block counts are inferred from
+    the state_dict so one converter covers all aggregation depths."""
+    b = TreeBuilder(sd)
+    # backbone: trunk + FPN + InstanceNorm out_conv (norm param-free)
+    _ls_trunk(b, "backbone", "backbone/trunk")
+    for k, f in (("fpn_layer4", "fpn4"), ("fpn_layer3", "fpn3"),
+                 ("fpn_layer2", "fpn2")):
+        _ls_fpn(b, f"backbone.{k}", f"backbone/{f}")
+    b.conv("backbone.out_conv.block.0", "backbone/out_conv")
+
+    # aggregation UNet (reference aggregation.py:7-64)
+    agg = "cost_agg"
+
+    def seq_len(prefix):
+        n = 0
+        while b.has(f"{prefix}.{n}.pwconv.0.weight"):
+            n += 1
+        return n
+
+    for i in range(seq_len(f"{agg}.conv0")):
+        _mv2_residual(b, f"{agg}.conv0.{i}", f"{agg}/conv0_{i}")
+    _mv2_residual(b, f"{agg}.conv1", f"{agg}/down1")
+    for i in range(seq_len(f"{agg}.conv2")):
+        _mv2_residual(b, f"{agg}.conv2.{i}", f"{agg}/conv2_{i}")
+    _mv2_residual(b, f"{agg}.conv3", f"{agg}/down3")
+    for i in range(seq_len(f"{agg}.conv4")):
+        _mv2_residual(b, f"{agg}.conv4.{i}", f"{agg}/conv4_{i}")
+    for t, f in (("att0", "att0"), ("att2", "att2"), ("att4", "att4")):
+        _ls_attention(b, f"{agg}.{t}", f"{agg}/{f}")
+    b.convbn(f"{agg}.conv5", f"{agg}/up5", deconv=True)
+    b.convbn(f"{agg}.conv6", f"{agg}/up6", deconv=True)
+    _mv2_residual(b, f"{agg}.redir1", f"{agg}/redir1")
+    _mv2_residual(b, f"{agg}.redir2", f"{agg}/redir2")
+
+    # superpixel refinement head (lightstereo.py:29-42)
+    b.conv("refine_1.0.block.0", "refine1a")
+    b.conv("refine_1.1.block.0", "refine1b")
+    b.convbn("stem_2.0.block", "stem2a")
+    b.convbn("stem_2.1.block", "stem2b")
+    _ls_fpn(b, "refine_2", "refine2")
+    b.conv("refine_3.block.0", "refine3", deconv=True)
+    return b.finish()
+
+
+# =========================================================================
+# CasStereo (reference stereo/modeling/models/casnet/{cas_psm,cas_gwc}.py)
+# =========================================================================
+
+def _psm_resblocks(b: TreeBuilder, tpre: str, fpre: str):
+    """PSM BasicBlock layers 1-4 (conv1 = Seq(convbn, ReLU); conv2 bare)."""
+    for layer, n in (("layer1", 3), ("layer2", 16), ("layer3", 3), ("layer4", 3)):
+        for i in range(n):
+            b.convbn(f"{tpre}.{layer}.{i}.conv1.0", f"{fpre}/{layer}_{i}/conv1")
+            b.convbn(f"{tpre}.{layer}.{i}.conv2", f"{fpre}/{layer}_{i}/conv2")
+            if b.has(f"{tpre}.{layer}.{i}.downsample.0.weight"):
+                b.convbn(f"{tpre}.{layer}.{i}.downsample",
+                         f"{fpre}/{layer}_{i}/downsample")
+
+
+def _cas_cost_agg(b: TreeBuilder, tpre: str, fpre: str):
+    """CostAggregation (cas_psm.py:183-279): dres0/1 pairs, 3 redir
+    hourglasses, 4 classifier heads."""
+    b.convbn(f"{tpre}.dres0.0", f"{fpre}/dres0a")
+    b.convbn(f"{tpre}.dres0.2", f"{fpre}/dres0b")
+    b.convbn(f"{tpre}.dres1.0", f"{fpre}/dres1a")
+    b.convbn(f"{tpre}.dres1.2", f"{fpre}/dres1b")
+    for hg in ("dres2", "dres3", "dres4"):
+        for i in (1, 2, 3, 4):
+            b.convbn(f"{tpre}.{hg}.conv{i}.0", f"{fpre}/{hg}/conv{i}")
+        for i in (5, 6):
+            b.convbn(f"{tpre}.{hg}.conv{i}", f"{fpre}/{hg}/conv{i}", deconv=True)
+        for r in ("redir1", "redir2"):
+            b.convbn(f"{tpre}.{hg}.{r}", f"{fpre}/{hg}/{r}")
+    for j in (0, 1, 2, 3):
+        b.convbn(f"{tpre}.classif{j}.0", f"{fpre}/classif{j}a")
+        b.conv(f"{tpre}.classif{j}.2", f"{fpre}/classif{j}b")
+
+
+def convert_casnet(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference CasPSMNet / CasGwcNet → flax variables. The trunk variant
+    is inferred from the state_dict (SPP branches → PSM, out1_cat → Gwc)."""
+    b = TreeBuilder(sd)
+    fe, f = "feature_extraction", "features"
+    b.convbn(f"{fe}.firstconv_a.0", f"{f}/firstconv_a0")
+    b.convbn(f"{fe}.firstconv_a.2", f"{f}/firstconv_a1")
+    b.convbn(f"{fe}.firstconv_b.0", f"{f}/firstconv_b")
+    _psm_resblocks(b, fe, f)
+    if b.has(f"{fe}.branch1.1.0.weight"):  # PSM (SPP + inner0/lastconv)
+        for k in range(1, 5):
+            b.convbn(f"{fe}.branch{k}.1", f"{f}/branch{k - 1}")
+        b.convbn(f"{fe}.inner0.0", f"{f}/inner0a")
+        b.raw_conv(f"{fe}.inner0.2", f"{f}/inner0b")
+        b.raw_conv(f"{fe}.lastconv", f"{f}/lastconv")
+        n_stage = 2 + b.has(f"{fe}.inner2.weight")
+        for i in range(1, n_stage):
+            b.raw_conv(f"{fe}.inner{i}", f"{f}/inner{i}")
+            b.raw_conv(f"{fe}.out{i + 1}", f"{f}/out{i + 1}")
+    else:  # Gwc (nospp + per-stage cat heads)
+        b.convbn(f"{fe}.out1_cat.0", f"{f}/out1_cat_a")
+        b.raw_conv(f"{fe}.out1_cat.2", f"{f}/out1_cat_b")
+        n_stage = 2 + b.has(f"{fe}.inner2.weight")
+        for i in range(1, n_stage):
+            b.raw_conv(f"{fe}.inner{i}", f"{f}/inner{i}")
+            b.raw_conv(f"{fe}.out{i + 1}", f"{f}/out{i + 1}")
+            b.raw_conv(f"{fe}.out{i + 1}_cat", f"{f}/out{i + 1}_cat")
+    si = 0
+    while b.has(f"cost_agg.{si}.dres0.0.0.weight"):
+        _cas_cost_agg(b, f"cost_agg.{si}", f"cost_agg{si}")
+        si += 1
+    return b.finish()
+
+
+# =========================================================================
+# STTR (reference stereo/modeling/models/sttr/)
+# =========================================================================
+
+def _wn_conv(b: TreeBuilder, tkey: str, fpath: str):
+    """torch weight_norm conv (weight_g [O,1,1,1] + weight_v [O,I,kh,kw] +
+    bias) → WNConv params {g [O], v [kh,kw,I,O], b [O]}."""
+    b.put("params", f"{fpath}/g", b.take(f"{tkey}.weight_g").reshape(-1))
+    b.put("params", f"{fpath}/v", conv_kernel(b.take(f"{tkey}.weight_v")))
+    b.put("params", f"{fpath}/b", b.take(f"{tkey}.bias"))
+
+
+def _mha_relative(b: TreeBuilder, tkey: str, fpath: str):
+    """torch MultiheadAttentionRelative (packed in_proj [3C,C]) → split
+    q/k/v Dense kernels (reference attention.py:40-63 row slicing)."""
+    w = b.take(f"{tkey}.in_proj_weight")
+    bias = b.take(f"{tkey}.in_proj_bias")
+    c = w.shape[1]
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        b.put("params", f"{fpath}/{name}/kernel",
+              dense_kernel(w[i * c:(i + 1) * c]))
+        b.put("params", f"{fpath}/{name}/bias", bias[i * c:(i + 1) * c])
+    b.put("params", f"{fpath}/out_proj/kernel",
+          dense_kernel(b.take(f"{tkey}.out_proj.weight")))
+    b.put("params", f"{fpath}/out_proj/bias", b.take(f"{tkey}.out_proj.bias"))
+
+
+def _layer_norm(b: TreeBuilder, tkey: str, fpath: str):
+    b.put("params", f"{fpath}/scale", b.take(f"{tkey}.weight"))
+    b.put("params", f"{fpath}/bias", b.take(f"{tkey}.bias"))
+
+
+def convert_sttr(sd: Dict[str, np.ndarray], num_attn_layers: int = 6,
+                 cal_num_blocks: int = 8) -> Dict:
+    """Reference STTR (sttr.py:17-141) → flax STTR variables.
+
+    All reference norms are parameter-free InstanceNorm (and BN tracking is
+    disabled, sttr.py:60-70), so there is no batch_stats collection; the
+    transformer's constructed-but-unused final LayerNorm
+    (transformer.py:32) is dropped."""
+    b = TreeBuilder(sd)
+    # SppBackbone (feat_extractor_backbone_in.py:13-103)
+    for ti, fi in ((0, 0), (3, 1), (6, 2)):
+        b.conv(f"backbone.in_conv.{ti}", f"backbone/in_conv{fi}")
+    for blk, f in (("resblock_1", "res1"), ("resblock_2", "res2")):
+        for i in range(3):
+            b.conv(f"backbone.{blk}.{i}.conv1", f"backbone/{f}_{i}/conv1")
+            b.conv(f"backbone.{blk}.{i}.conv2", f"backbone/{f}_{i}/conv2")
+        b.conv(f"backbone.{blk}.0.downsample.0", f"backbone/{f}_0/downsample")
+    for k in range(4):
+        b.conv(f"backbone.branch{k + 1}.1", f"backbone/branch{k}")
+
+    # Tokenizer (feat_extractor_tokenizer.py:63-120): bottleneck + 2 dense
+    # blocks + DoubleConv, deconv TransitionUps (last is the ×4 two-stage)
+    for blk, f in (("bottle_neck", "bottleneck"), ("dense_block.0", "dense0"),
+                   ("dense_block.1", "dense1")):
+        for li in range(4):
+            for ci in (1, 2):
+                b.raw_conv(f"tokenizer.{blk}.denselayer{li + 1}.conv{ci}",
+                           f"tokenizer/{f}/conv{ci}_{li}")
+    b.raw_conv("tokenizer.up.0.convTrans", "tokenizer/up0/up1", deconv=True)
+    b.raw_conv("tokenizer.up.1.convTrans", "tokenizer/up1/up1", deconv=True)
+    b.raw_conv("tokenizer.up.2.convTrans.0", "tokenizer/up2/up1", deconv=True)
+    b.raw_conv("tokenizer.up.2.convTrans.2", "tokenizer/up2/up2", deconv=True)
+    b.conv("tokenizer.dense_block.2.double_conv.0", "tokenizer/final0")
+    b.conv("tokenizer.dense_block.2.double_conv.3", "tokenizer/final1")
+
+    # Transformer (transformer.py:17-113)
+    for i in range(num_attn_layers):
+        t, f = f"transformer.self_attn_layers.{i}", f"transformer/self_{i}"
+        _layer_norm(b, f"{t}.norm1", f"{f}/norm1")
+        _mha_relative(b, f"{t}.self_attn", f"{f}/self_attn")
+        t, f = f"transformer.cross_attn_layers.{i}", f"transformer/cross_{i}"
+        _layer_norm(b, f"{t}.norm1", f"{f}/norm1")
+        _layer_norm(b, f"{t}.norm2", f"{f}/norm2")
+        _mha_relative(b, f"{t}.cross_attn", f"{f}/cross_attn")
+    b.drop("transformer.norm.")  # instantiated, never applied
+
+    # Regression head: OT dustbin cost + context adjustment
+    b.put("params", "phi", b.take("regression_head.phi").reshape(()))
+    cal = "regression_head.cal"
+    b.raw_conv(f"{cal}.in_conv", "cal/in_conv")
+    b.raw_conv(f"{cal}.out_conv", "cal/out_conv")
+    for i in range(cal_num_blocks):
+        _wn_conv(b, f"{cal}.layers.{i}.module.0", f"cal/res{i}_a")
+        _wn_conv(b, f"{cal}.layers.{i}.module.2", f"cal/res{i}_b")
+    for ti, fi in ((0, 0), (1, 1), (3, 2), (4, 3)):
+        _wn_conv(b, f"{cal}.occ_head.{ti}", f"cal/occ{fi}")
+    b.raw_conv(f"{cal}.occ_head.6", "cal/occ4")
+    return b.finish()
+
+
+# =========================================================================
 # IGEV / StereoBase (reference stereo/modeling/models/{igev,stereobase}/)
 # =========================================================================
 
@@ -709,6 +970,10 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "MSNet3D": convert_msnet3d,
     "MSNet2D": convert_msnet2d,
     "TimmMobileNetV2": convert_timm_mobilenetv2,
+    "LightStereo": convert_lightstereo,
+    "STTR": convert_sttr,
+    "CasPSMNet": convert_casnet,
+    "CasGwcNet": convert_casnet,
     "IGEV": convert_igev,
     "IGEVRT": convert_igev_rt,
     "IGEVPP": convert_igevpp,

@@ -97,9 +97,9 @@ def _check_tree_matches(variables, model, left, train=False):
     ref = jax.eval_shape(
         lambda: model.init(jax.random.key(0), data, train=train))
     got = {k: jax.tree_util.tree_map(np.shape, v)
-           for k, v in variables.items()}
+           for k, v in variables.items() if v}  # drop empty collections
     want = {k: jax.tree_util.tree_map(lambda x: tuple(x.shape), ref[k])
-            for k in ("params", "batch_stats")}
+            for k in ("params", "batch_stats") if k in ref}
     assert got == want
 
 
@@ -295,6 +295,195 @@ def test_stereobase_forward_parity():
     left, right = _igev_like_inputs(seed=10, scale=2.0, shift=-1.0)
     _check_tree_matches(variables, ours, left, train=True)
     exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def test_lightstereo_forward_parity():
+    """Full LightStereo-S parity: timm trunk (via tests/fake_timm), FPN,
+    D-as-channels aggregation UNet with strip attention, superpixel
+    upsample — one converted-weight comparison. MAX_DISP must be 192: the
+    reference hardcodes Aggregation(in_channels=48) (lightstereo.py:21)."""
+    import fake_timm
+
+    from openstereo_tpu.models.lightstereo import LightStereo
+
+    fake_timm.install()
+    ref_mod = load_ref_module("stereo.modeling.models.lightstereo.lightstereo")
+    tmodel = ref_mod.LightStereo(NS(
+        MAX_DISP=192, LEFT_ATT=True, AGGREGATION_BLOCKS=[1, 2, 4],
+        EXPANSE_RATIO=4))
+    _randomize_bn_stats(tmodel, seed=15)
+
+    variables = convert(
+        "LightStereo", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = LightStereo(max_disp=192, aggregation_blocks=(1, 2, 4),
+                       expanse_ratio=4, dtype=jnp.float64)
+
+    left, right = _inputs(seed=16)
+    _check_tree_matches(variables, ours, left)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def test_sttr_forward_parity():
+    """Full STTR parity: SPP-IN backbone (fake torchvision BasicBlock),
+    DenseNet tokenizer, 6-layer relative-attention transformer, Sinkhorn OT
+    with dustbins, 3-px window regression, CAL — converted weights, f64."""
+    import contextlib
+
+    import fake_torchvision
+    import torch
+
+    from openstereo_tpu.models.sttr.sttr import STTR
+
+    fake_torchvision.install()
+    ref_mod = load_ref_module("stereo.modeling.models.sttr.sttr")
+    tmodel = ref_mod.STTR(NS(
+        DOWNSAMPLE=3, CHANNEL_DIM=128, POSITION_ENCODING="sine1d_rel",
+        NUM_ATTN_LAYERS=6, NHEADS=8, REGRESSION_HEAD="ot",
+        CONTEXT_ADJUSTMENT_LAYER="cal", CAL_NUM_BLOCKS=8, CAL_FEAT_DIM=16,
+        CAL_EXPANSION_RATIO=4))
+
+    variables = convert(
+        "STTR", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = STTR(downsample=3, dtype=jnp.float64)
+
+    # >=256 px: the SPP branch pools 16×16 at 1/8 scale and torch
+    # InstanceNorm rejects 1×1 spatial inputs
+    h, w = 256, 288
+    rng = np.random.RandomState(17)
+    left = rng.rand(1, h, w, 3).astype(np.float32)
+    right = rng.rand(1, h, w, 3).astype(np.float32)
+    occ = np.zeros((1, h, w), np.float32)
+    disp = (rng.rand(1, h, w) * 48 + 1).astype(np.float32)
+
+    _check_tree_matches(variables, ours, left)
+
+    @contextlib.contextmanager
+    def _cpu_f64_oracle():
+        """The reference calls .get_device() (GPU-only) and builds its pos
+        table with explicit float32 (pos_encoder.py:45-56); on a CPU f64
+        oracle run, route both to defaults."""
+        orig_get, orig_lin = torch.Tensor.get_device, torch.linspace
+
+        def linspace(*a, **kw):
+            if kw.get("dtype") == torch.float32:
+                kw["dtype"] = torch.get_default_dtype()
+            return orig_lin(*a, **kw)
+
+        torch.Tensor.get_device = lambda self: "cpu"
+        torch.linspace = linspace
+        try:
+            yield
+        finally:
+            torch.Tensor.get_device, torch.linspace = orig_get, orig_lin
+
+    tmodel = tmodel.double().eval()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad(), _cpu_f64_oracle():
+            out = tmodel({
+                "left": torch.from_numpy(left.transpose(0, 3, 1, 2)).double(),
+                "right": torch.from_numpy(right.transpose(0, 3, 1, 2)).double(),
+                "occ_mask": torch.from_numpy(occ).double(),
+                "occ_mask_right": torch.from_numpy(occ).double(),
+                "disp": torch.from_numpy(disp).double(),
+            })
+    finally:
+        torch.set_default_dtype(torch.float32)
+    exp_disp = out["disp_pred"].numpy().reshape(1, h, w)
+    exp_occ = out["occ_pred"].numpy().reshape(1, h, w)
+
+    import jax
+
+    with jax.enable_x64(True):
+        variables64 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float64), variables)
+        got = jax.jit(
+            lambda v, b: ours.apply(v, b, train=False)
+        )(variables64, {"left": np.asarray(left, np.float64),
+                        "right": np.asarray(right, np.float64),
+                        "occ_mask": np.asarray(occ, np.float64),
+                        "occ_mask_right": np.asarray(occ, np.float64)})
+        got_disp = np.asarray(got["disp_pred"]).reshape(1, h, w)
+        got_occ = np.asarray(got["occ_pred"]).reshape(1, h, w)
+    np.testing.assert_allclose(got_disp, exp_disp, atol=1e-4, rtol=0)
+    np.testing.assert_allclose(got_occ, exp_occ, atol=1e-5, rtol=0)
+
+
+def _cas_args():
+    return NS(MAX_DISP=192, NDISPS=[48, 24], DISP_INTERVAL_PIXEL=[4.0, 1.0],
+              USING_NS=True, NS_SIZE=3, GRAD_METHOD="detach",
+              CR_BASE_CHS=[32, 32, 16])
+
+
+def _damp_conv_weights(tmodel, gain=0.7):
+    """With random init + randomized BN stats the cascades' activations
+    compound to ~1e6 by the cost volume, so the soft-argmax saturates into
+    a hard argmax and ulp-level reassociation (multithreaded CPU
+    reductions) amplifies ~1e9× — isolated pixels flip by whole sample
+    bins between runs. Scaling every conv weight keeps all semantics
+    exercised while keeping activations (and logits) O(1), so the
+    comparison is well-conditioned and deterministic."""
+    import torch
+
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.Conv3d,
+                              torch.nn.ConvTranspose2d, torch.nn.ConvTranspose3d)):
+                m.weight.mul_(gain)
+
+
+def test_caspsmnet_forward_parity():
+    """Cascade PSMNet parity: SPP-FPN features, neighbourhood-search dynamic
+    ranges, warped concat volumes, per-stage redir hourglasses. The
+    reference asserts MAX_DISP == 192 (cas_psm.py:333)."""
+    from openstereo_tpu.models.casnet import CasPSMNet
+
+    ref_mod = load_ref_module("stereo.modeling.models.casnet.cas_psm")
+    tmodel = ref_mod.PSMNet(_cas_args())
+    _randomize_bn_stats(tmodel, seed=19)
+    _damp_conv_weights(tmodel)
+
+    variables = convert(
+        "CasPSMNet", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = CasPSMNet(max_disp=192, dtype=jnp.float64)
+
+    left, right = _inputs(seed=20)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def test_casgwcnet_forward_parity():
+    """Cascade GwcNet parity: nospp trunk, warped gwc+concat volumes."""
+    import torch
+
+    from openstereo_tpu.models.casnet import CasGwcNet
+
+    ref_mod = load_ref_module("stereo.modeling.models.casnet.cas_gwc")
+    tmodel = ref_mod.GwcNet(_cas_args())
+    _randomize_bn_stats(tmodel, seed=21)
+    _damp_conv_weights(tmodel)
+
+    variables = convert(
+        "CasGwcNet", {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = CasGwcNet(max_disp=192, dtype=jnp.float64)
+
+    left, right = _inputs(seed=22)
+    _check_tree_matches(variables, ours, left, train=True)
+    # the reference asserts .is_contiguous() on its (post-.double(), sliced)
+    # feature dict entries (cas_gwc.py:296,305) — a CUDA-kernel precondition
+    # with no numerical meaning on this CPU oracle; neutralise it
+    orig = torch.Tensor.is_contiguous
+    torch.Tensor.is_contiguous = lambda self, *a, **k: True
+    try:
+        exp = _run_ref(tmodel, left, right)
+    finally:
+        torch.Tensor.is_contiguous = orig
     got = _run_ours(ours, variables, left, right)
     np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
 
