@@ -398,3 +398,17 @@ class CropOrPad:
         if self.size[0] > h or self.size[1] > w:
             return self.pad(sample)
         return self.crop(sample)
+
+
+@TRANSFORMS.register
+class NormalizeToMinusOneOne:
+    """Scale images from [0,255] to [-1,1] (reference stereo_trans.py:379-389;
+    used by MonSter's pipelines, cfgs/monster/*.yaml)."""
+
+    def __init__(self, config):
+        pass
+
+    def __call__(self, sample):
+        for k in _IMG_KEYS:
+            sample[k] = 2.0 * (sample[k] / 255.0) - 1.0
+        return sample

@@ -22,6 +22,9 @@ from .aanet import AANet  # noqa: F401
 from .stereobase import StereoBase  # noqa: F401
 from .igev_rt import IGEVRT  # noqa: F401
 from .igevpp import IGEVPP  # noqa: F401
+from .foundationstereo import FoundationStereo  # noqa: F401
+from .monster import MonSter  # noqa: F401
+from .fastfoundationstereo import FastFoundationStereo  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

@@ -75,10 +75,13 @@ def sample_along_w(y: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def disp_warp(right: jnp.ndarray, disp: jnp.ndarray):
+def disp_warp(right: jnp.ndarray, disp: jnp.ndarray, padding: str = "zeros"):
     """Warp right view to the left camera: sample right at (x - disp, y).
 
     right: [B,H,W,C]; disp: [B,H,W] (positive disparities).
+    padding: 'zeros' (out-of-frame → 0, FADNet convention) or 'border'
+    (clamp to the frame edge — MonSter's warp, reference
+    monster/warp.py:53-80 grid_sample padding_mode='border').
     Returns (warped [B,H,W,C], valid_mask [B,H,W,1]).
     """
     b, h, w, _ = right.shape
@@ -86,7 +89,11 @@ def disp_warp(right: jnp.ndarray, disp: jnp.ndarray):
     ys = jnp.arange(h, dtype=disp.dtype)[None, :, None]
     x_src = jnp.broadcast_to(xs, (b, h, w)) - disp
     y_src = jnp.broadcast_to(ys, (b, h, w))
+    valid = ((x_src >= 0) & (x_src <= w - 1)).astype(right.dtype)[..., None]
+    if padding == "border":
+        x_src = jnp.clip(x_src, 0.0, w - 1)
     coords = jnp.stack([x_src, y_src], axis=-1)
     warped = bilinear_sampler(right, coords)
-    valid = ((x_src >= 0) & (x_src <= w - 1)).astype(right.dtype)[..., None]
-    return warped * valid, valid
+    if padding == "zeros":
+        warped = warped * valid
+    return warped, valid

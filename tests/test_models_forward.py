@@ -334,3 +334,82 @@ def test_resize_align_corners_matches_torch():
     exp = F.interpolate(tx, (8, 12, 16), mode="trilinear", align_corners=True)
     exp = exp.numpy().transpose(0, 2, 3, 4, 1)
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_foundationstereo_forward():
+    """FoundationStereo: EdgeNeXt+frozen-DAv2 features, AHCF hourglass with
+    disparity transformer, selective GRU loop. Input must be /32-divisible
+    (the reference pads with InputPadder divis_by=32)."""
+    from openstereo_tpu.models.foundationstereo import FoundationStereo
+
+    model = FoundationStereo(max_disp=64, vit_size="vits",
+                             train_iters=2, valid_iters=2)
+    _check_model(model, _data(b=1, h=64, w=96), aux_key="disp_preds", n_aux=2)
+
+
+def test_foundationstereo_frozen_vit():
+    """FREEZE_VIT must zero every gradient under feature/dino (the reference
+    freezes DepthAnything, extractor.py:330)."""
+    from openstereo_tpu.models.foundationstereo import FoundationStereo
+
+    model = FoundationStereo(max_disp=64, vit_size="vits",
+                             train_iters=1, valid_iters=1)
+    data = _data(b=1, h=64, w=96)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                           data, train=True, mutable=["batch_stats"])
+        return model.get_loss(o, data)[0]
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    dino = sum(float(jnp.sum(jnp.abs(g)))
+               for g in jax.tree.leaves(grads["feature"]["dino"]))
+    rest = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert dino == 0.0
+    assert rest > 0.0
+
+
+def test_monster_forward():
+    """MonSter: frozen DAv2 mono branch + IGEV-style stereo branch +
+    mutual-refinement GRU phase + REMP. H,W must be /32-divisible with
+    H/16 integral (the 14/16 ViT resize lands on whole patches)."""
+    from openstereo_tpu.models.monster import MonSter
+
+    model = MonSter(max_disp=64, encoder="vits", train_iters=3,
+                    valid_iters=3, mix_iters=2)
+    # preds: 1 phase-A + 2 mixed × (mono, stereo) = 5
+    _check_model(model, _data(b=1, h=96, w=160), aux_key="disp_preds", n_aux=5)
+
+
+def test_monster_frozen_mono():
+    """The DAv2 encoder and depth decoder must receive exactly zero
+    gradients (reference monster.py:303-306 requires_grad_(False)); the
+    pyramid feat_decoder trains."""
+    from openstereo_tpu.models.monster import MonSter
+
+    model = MonSter(max_disp=64, encoder="vits", train_iters=2,
+                    valid_iters=2, mix_iters=1)
+    data = _data(b=1, h=96, w=160)
+    variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data)
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                           data, train=True, mutable=["batch_stats"])
+        return model.get_loss(o, data)[0]
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    total = lambda t: sum(float(jnp.sum(jnp.abs(g)))  # noqa: E731
+                          for g in jax.tree.leaves(t))
+    assert total(grads["mono"]["mono_encoder"]) == 0.0
+    assert total(grads["mono"]["mono_decoder"]) == 0.0
+    assert total(grads["mono"]["feat_decoder"]) > 0.0
+
+
+def test_fastfoundationstereo_forward():
+    """FastFoundationStereo: distilled student — EdgeNeXt trunk only (no
+    ViT), shared-backbone context, single-scale selective GRU."""
+    from openstereo_tpu.models.fastfoundationstereo import FastFoundationStereo
+
+    model = FastFoundationStereo(max_disp=64, train_iters=2, valid_iters=2)
+    _check_model(model, _data(b=1, h=64, w=96), aux_key="disp_preds", n_aux=2)
