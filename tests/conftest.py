@@ -21,5 +21,35 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Test tiering: `pytest -m quick` runs the sub-10-minute subset (op goldens,
+# transforms/loaders, layer parity, tiny-shape model smoke) — the practical
+# green-bar check on small CPU boxes. Everything else (full model forwards,
+# f64 reference-oracle parity, sharding suites, e2e training) stays in the
+# default full run. Modules listed here are auto-marked; individual tests
+# elsewhere can opt in with @pytest.mark.quick.
+# ---------------------------------------------------------------------------
+
+QUICK_MODULES = {
+    "test_cost_volume",
+    "test_conv3d",
+    "test_ops_misc",
+    "test_losses_metrics",
+    "test_layer_parity",
+    "test_data_pipeline",
+    "test_make_splits",
+    "test_native",
+    "test_nmrf_ops",
+    "test_quick_forward",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
