@@ -74,8 +74,14 @@ def build_gwc_volume(left: jnp.ndarray, right: jnp.ndarray, max_disp: int,
 
     [B,H,W,C] → [B, D, H, W, G] (NDHWC for 3D aggregation).
     """
+    b, h, w, _ = left.shape
     planes = []
     for d in range(max_disp):
+        if d >= w:
+            # shift beyond the frame: no overlap → zero plane (matches the
+            # reference's zero-initialised buffer, e.g. nmrf/submodule.py:15)
+            planes.append(jnp.zeros((b, h, w, num_groups), left.dtype))
+            continue
         l, r = _shifted_pairs(left, right, d)
         planes.append(_pad_front_w(groupwise_correlation(l, r, num_groups), d))
     return jnp.stack(planes, axis=1)

@@ -40,6 +40,8 @@ __all__ = [
 
 def conv_kernel(w: np.ndarray) -> np.ndarray:
     w = np.asarray(w)
+    if w.ndim == 3:  # Conv1d [out, in, k] -> [k, in, out]
+        return np.ascontiguousarray(w.transpose(2, 1, 0))
     if w.ndim == 4:
         return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
     if w.ndim == 5:
@@ -964,6 +966,166 @@ def convert_stereobase(sd: Dict[str, np.ndarray]) -> Dict:
 # registry
 # =========================================================================
 
+# =========================================================================
+# NMRF (reference stereo/modeling/models/nmrf/)
+# =========================================================================
+
+def _ln(b: TreeBuilder, tkey: str, fpath: str):
+    b.put("params", f"{fpath}/scale", b.take(f"{tkey}.weight"))
+    b.put("params", f"{fpath}/bias", b.take(f"{tkey}.bias"))
+
+
+def _nmrf_mlp_head(b: TreeBuilder, tpre: str, fpre: str, n: int = 3):
+    for i in range(n):
+        b.dense(f"{tpre}.layers.{i}", f"{fpre}/layers_{i}")
+
+
+def _nmrf_swin_nmp(b: TreeBuilder, tpre: str, fpre: str):
+    """SwinNMP block (reference NMP.py:295-398)."""
+    _ln(b, f"{tpre}.norm1", f"{fpre}/norm1")
+    _ln(b, f"{tpre}.norm2", f"{fpre}/norm2")
+    b.dense(f"{tpre}.qkv", f"{fpre}/qkv")
+    b.dense(f"{tpre}.proj", f"{fpre}/proj")
+    b.dense(f"{tpre}.mlp.fc1", f"{fpre}/mlp/fc1")
+    b.dense(f"{tpre}.mlp.fc2", f"{fpre}/mlp/fc2")
+    b.put("params", f"{fpre}/attn/relative_position_enc_table",
+          b.take(f"{tpre}.attn.relative_position_enc_table"))
+    b.drop(f"{tpre}.attn.relative_position_index")
+
+
+def _nmrf_inference(b: TreeBuilder, tpre: str, fpre: str, n_layers: int = 5,
+                    with_self: bool = True):
+    b.dense(f"{tpre}.ffn.fc1", f"{fpre}/ffn/fc1")
+    b.dense(f"{tpre}.ffn.fc2", f"{fpre}/ffn/fc2")
+    _ln(b, f"{tpre}.norm", f"{fpre}/norm")
+    for i in range(n_layers):
+        if with_self:
+            sp = f"{tpre}.layers.{i}.self_nmp"
+            fp = f"{fpre}/layers_{i}_self_nmp"
+            _ln(b, f"{sp}.norm1", f"{fp}/norm1")
+            for nm in ("q", "k", "v", "proj"):
+                b.dense(f"{sp}.{nm}", f"{fp}/{nm}")
+        _nmrf_swin_nmp(b, f"{tpre}.layers.{i}.nmp", f"{fpre}/layers_{i}_nmp")
+
+
+def _nmrf_cswin_nmp(b: TreeBuilder, tpre: str, fpre: str):
+    """CSWinNMP block (reference NMP.py:508-600)."""
+    _ln(b, f"{tpre}.norm1", f"{fpre}/norm1")
+    _ln(b, f"{tpre}.norm2", f"{fpre}/norm2")
+    for nm in ("q", "k", "v", "proj"):
+        b.dense(f"{tpre}.{nm}", f"{fpre}/{nm}")
+    b.dense(f"{tpre}.mlp.fc1", f"{fpre}/mlp/fc1")
+    b.dense(f"{tpre}.mlp.fc2", f"{fpre}/mlp/fc2")
+    for i in (0, 1):
+        b.raw_conv(f"{tpre}.attns.{i}.get_v", f"{fpre}/attns_{i}/get_v")
+
+
+def _nmrf_swin_trunk(b: TreeBuilder, tpre: str, fpre: str,
+                     depths=(2, 2, 6, 2)):
+    b.raw_conv(f"{tpre}.patch_embed.proj", f"{fpre}/patch_embed_proj")
+    _ln(b, f"{tpre}.patch_embed.norm", f"{fpre}/patch_embed_norm")
+    for s, depth in enumerate(depths):
+        for j in range(depth):
+            tp = f"{tpre}.layers.{s}.blocks.{j}"
+            fp = f"{fpre}/layers_{s}_blocks_{j}"
+            _ln(b, f"{tp}.norm1", f"{fp}/norm1")
+            _ln(b, f"{tp}.norm2", f"{fp}/norm2")
+            b.dense(f"{tp}.attn.qkv", f"{fp}/attn/qkv")
+            b.dense(f"{tp}.attn.proj", f"{fp}/attn/proj")
+            b.put("params", f"{fp}/attn/relative_position_bias_table",
+                  b.take(f"{tp}.attn.relative_position_bias_table"))
+            b.drop(f"{tp}.attn.relative_position_index")
+            b.dense(f"{tp}.mlp.fc1", f"{fp}/mlp_fc1")
+            b.dense(f"{tp}.mlp.fc2", f"{fp}/mlp_fc2")
+        if s < len(depths) - 1:
+            _ln(b, f"{tpre}.layers.{s}.downsample.norm",
+                f"{fpre}/layers_{s}_downsample/norm")
+            b.put("params", f"{fpre}/layers_{s}_downsample/reduction/kernel",
+                  dense_kernel(b.take(f"{tpre}.layers.{s}.downsample.reduction.weight")))
+
+
+def _nmrf_neck(b: TreeBuilder, tpre: str, fpre: str):
+    for i, t in enumerate((0, 3, 6)):
+        b.raw_conv(f"{tpre}.stem.stem.{t}", f"{fpre}/stem/stem_{i}")
+    b.raw_conv(f"{tpre}.stem.fc", f"{fpre}/stem/fc")
+    for i in range(4):
+        _ln(b, f"{tpre}.fcs.{i}.0", f"{fpre}/fcs_{i}_norm")
+        b.dense(f"{tpre}.fcs.{i}.1", f"{fpre}/fcs_{i}_linear")
+        tp, fp = f"{tpre}.extractors.{i}", f"{fpre}/extractors_{i}"
+        _ln(b, f"{tp}.query_norm", f"{fp}/query_norm")
+        _ln(b, f"{tp}.feat_norm", f"{fp}/feat_norm")
+        _ln(b, f"{tp}.ffn_norm", f"{fp}/ffn_norm")
+        for nm in ("sampling_offsets", "attention_weights", "value_proj",
+                   "output_proj"):
+            b.dense(f"{tp}.attn.{nm}", f"{fp}/attn/{nm}")
+        b.dense(f"{tp}.ffn.fc1", f"{fp}/ffn/fc1")
+        b.dense(f"{tp}.ffn.fc2", f"{fp}/ffn/fc2")
+        b.raw_conv(f"{tp}.ffn.dwconv.dwconv", f"{fp}/ffn/dwconv")
+
+
+def _nmrf_resnet(b: TreeBuilder, tpre: str, fpre: str):
+    b.raw_conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    for li in (1, 2, 3):
+        for j in (0, 1):
+            tp = f"{tpre}.layer{li}.{j}"
+            fp = f"{fpre}/layer{li}_{j}"
+            b.raw_conv(f"{tp}.conv1", f"{fp}/conv1")
+            b.raw_conv(f"{tp}.conv2", f"{fp}/conv2")
+            if b.has(f"{tp}.downsample.0.weight"):
+                b.raw_conv(f"{tp}.downsample.0", f"{fp}/downsample")
+    b.raw_conv(f"{tpre}.conv2", f"{fpre}/conv2")
+
+
+def convert_nmrf(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference NMRF.py:24-138 (+ DPN.py, NMP.py, backbone.py,
+    adaptor_modules.py, swin.py) → models/nmrf tree. Detects the resnet vs
+    swin encoder from the state-dict keys; handles the COMPAT naming
+    ('backbone' vs 'image_encoder')."""
+    b = TreeBuilder(sd)
+    b.drop("device_indicator_tensor")
+
+    enc = "image_encoder" if any(k.startswith("image_encoder")
+                                 for k in b.sd) else "backbone"
+    if any(k.startswith(f"{enc}.neck") for k in b.sd):  # swin adaptor
+        b.drop(f"{enc}.mean")
+        b.drop(f"{enc}.std")
+        _nmrf_swin_trunk(b, f"{enc}.backbone", "image_encoder/backbone")
+        _nmrf_neck(b, f"{enc}.neck", "image_encoder/neck")
+    else:
+        _nmrf_resnet(b, enc, "image_encoder")
+
+    # shared projection stacks (NMRF.py:78-87): Sequential indices 0, 3
+    for t, f in (("concatconv", "concatconv"), ("gw", "gw")):
+        b.raw_conv(f"{t}.0", f"{f}/c0")
+        b.raw_conv(f"{t}.3", f"{f}/c1")
+
+    # DPN
+    for i, t in enumerate((0, 2, 4)):
+        b.raw_conv(f"dpn.mlp.{t}", f"dpn/mlp_{i}")
+    b.raw_conv("dpn.proj.0", "dpn/proj_0")
+    b.raw_conv("dpn.proj.3", "dpn/proj_1")
+    b.dense("dpn.propagation.cost_encoder.0", "dpn/propagation/cost_encoder_fc1")
+    b.dense("dpn.propagation.cost_encoder.2", "dpn/propagation/cost_encoder_fc2")
+    b.dense("dpn.propagation.proj", "dpn/propagation/proj")
+    _ln(b, "dpn.propagation.norm", "dpn/propagation/norm")
+    for i in range(5):
+        _nmrf_cswin_nmp(b, f"dpn.propagation.layers.{i}.nmp",
+                        f"dpn/propagation/layers_{i}_nmp")
+    _nmrf_mlp_head(b, "dpn.prop_head", "dpn/prop_head")
+
+    # inference + heads
+    _nmrf_inference(b, "inference", "inference", with_self=True)
+    _nmrf_mlp_head(b, "infer_head", "infer_head")
+    b.dense("infer_score_head", "infer_score_head")
+
+    # refinement + head (absent when with_refinement=False)
+    if any(k.startswith("refinement") for k in b.sd):
+        _nmrf_inference(b, "refinement", "refinement", with_self=False)
+        _nmrf_mlp_head(b, "refine_head", "refine_head")
+
+    return b.finish()
+
+
 CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "PSMNet": convert_psmnet,
     "GwcNet": convert_gwcnet,
@@ -979,6 +1141,7 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "IGEVPP": convert_igevpp,
     "StereoBase": convert_stereobase,
     "StereoBaseGRU": convert_stereobase,
+    "NMRF": convert_nmrf,
 }
 
 

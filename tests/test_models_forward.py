@@ -31,8 +31,11 @@ def _check_model(model, data, aux_key=None, n_aux=None):
     assert ev["disp_pred"].shape == (data["left"].shape[0], h, w)
 
     # gradability
+    extra = ({"batch_stats": variables["batch_stats"]}
+             if "batch_stats" in variables else {})
+
     def loss_fn(params):
-        o, _ = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+        o, _ = model.apply({"params": params, **extra},
                            data, train=True, mutable=["batch_stats"])
         return model.get_loss(o, data)[0]
 
@@ -413,3 +416,30 @@ def test_fastfoundationstereo_forward():
 
     model = FastFoundationStereo(max_disp=64, train_iters=2, valid_iters=2)
     _check_model(model, _data(b=1, h=64, w=96), aux_key="disp_preds", n_aux=2)
+
+
+def test_nmrf_forward():
+    """NMRF forward/loss/grad on both encoders at tiny shapes. The loss
+    needs occ masks + superpixel labels; exercise both the provided-field
+    path and the grid-label fallback (reference NMRF.py:211-306)."""
+    from openstereo_tpu.models.nmrf import NMRF
+
+    data = _data(h=32, w=64)
+    rng = np.random.RandomState(1)
+    data["occ_mask"] = jnp.asarray(rng.rand(1, 32, 64) < 0.1)
+    data["occ_mask_2"] = jnp.asarray(rng.rand(1, 32, 64) < 0.1)
+    data["super_pixel_label"] = jnp.asarray(
+        rng.randint(0, 9, size=(1, 32, 64)), jnp.int32)
+
+    model = NMRF(model_type="resnet", max_disp=32, backbone_drop_path=0.0)
+    _check_model(model, data)
+
+    # swin encoder + fallback superpixels, forward/loss only (grad covered
+    # above; the swin trace is compile-heavy on CPU)
+    model = NMRF(model_type="swin", max_disp=32, backbone_drop_path=0.0)
+    data2 = _data(h=32, w=64)
+    variables = jax.jit(
+        lambda b: model.init(jax.random.key(0), b, train=True))(data2)
+    out = model.apply(variables, data2, train=True)
+    loss, _ = model.get_loss(out, data2)
+    assert np.isfinite(float(loss))

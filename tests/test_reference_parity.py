@@ -503,3 +503,102 @@ def test_msnet3d_forward_parity():
     exp = _run_ref(tmodel, left, right)
     got = _run_ours(ours, variables, left, right)
     np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+# =========================================================================
+# NMRF (reference stereo/modeling/models/nmrf/)
+# =========================================================================
+
+def _nmrf_inputs(seed, h=96, w=384):
+    # w/8 must exceed the 40 disparity bins: narrower inputs leave the
+    # d >= w/8 correlation planes all-zero, the DPN cost becomes exactly
+    # constant there, and the top-k proposal seeds tie — torch.topk and
+    # lax.top_k order ties differently (a measure-zero situation at real
+    # eval sizes, where w/8 = 120)
+    rng = np.random.RandomState(seed)
+    left = (rng.rand(1, h, w, 3) * 2 - 1).astype(np.float32)
+    right = (rng.rand(1, h, w, 3) * 2 - 1).astype(np.float32)
+    return left, right
+
+
+def _load_nmrf_ref():
+    import fake_nmrf_deps
+    fake_nmrf_deps.install()
+    return load_ref_module("stereo.modeling.models.nmrf.NMRF")
+
+
+@contextlib.contextmanager
+def _stable_topk():
+    """DPN's proposal top-k hits EXACT value ties at every left-edge pixel
+    (planes with d > x are all-zero, so the smoothed cost is constant over
+    the tail) — and torch.topk's tie order is backend-unspecified (CPU heap
+    order; different again on CUDA), while lax.top_k documents lowest-index-
+    first. Determinise the oracle to the documented lax rule via a stable
+    argsort so the comparison tests numerics, not unspecified tie order."""
+    import torch
+
+    orig = torch.topk
+
+    def topk(input, k, dim=-1, largest=True, sorted=True, **kw):
+        idx = torch.argsort(input, dim=dim, descending=largest, stable=True)
+        idx = idx.narrow(dim, 0, k)
+        return torch.return_types.topk((input.gather(dim, idx), idx))
+
+    torch.topk = topk
+    try:
+        yield
+    finally:
+        torch.topk = orig
+
+
+def test_nmrf_resnet_forward_parity():
+    """Full NMRF with the instance-norm ResNet encoder: DPN proposal
+    extraction, CSWin propagation, 5-layer inference, 5-layer refinement."""
+    from openstereo_tpu.models.nmrf import NMRF
+
+    ref_mod = _load_nmrf_ref()
+    tmodel = ref_mod.NMRF(NS(MODEL_TYPE="resnet", OUT_CHANNELS=128,
+                             DIVIS_BY=32, COMPAT=False))
+
+    variables = convert("NMRF", {k: v.numpy()
+                                 for k, v in tmodel.state_dict().items()})
+    ours = NMRF(model_type="resnet", dtype=jnp.float64)
+
+    left, right = _nmrf_inputs(seed=31)
+    _check_tree_matches(variables, ours, left)
+    with _stable_topk():
+        exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+def test_nmrf_swin_forward_parity():
+    """Full NMRF with the Swin-T + deformable-neck encoder — exercises the
+    ms_deform_attn TPU op against the reference's grid_sample fallback
+    inside the whole model."""
+    from openstereo_tpu.models.nmrf import NMRF
+
+    ref_mod = _load_nmrf_ref()
+    backbone_mod = load_ref_module("stereo.modeling.models.nmrf.backbone")
+    # create_backbone hardcodes a pretrained-checkpoint path that does not
+    # exist in this image (backbone.py:189-197); bypass the load and build
+    # the SwinAdaptor directly (drop_path inactive in eval anyway)
+    orig = ref_mod.create_backbone
+    ref_mod.create_backbone = lambda **kw: backbone_mod.SwinAdaptor(
+        out_channels=kw["out_channels"], drop_path_rate=0.0)
+    try:
+        tmodel = ref_mod.NMRF(NS(MODEL_TYPE="swin", OUT_CHANNELS=128,
+                                 DIVIS_BY=32, COMPAT=False))
+    finally:
+        ref_mod.create_backbone = orig
+
+    variables = convert("NMRF", {k: v.numpy()
+                                 for k, v in tmodel.state_dict().items()})
+    ours = NMRF(model_type="swin", dtype=jnp.float64)
+
+    left, right = _nmrf_inputs(seed=32)
+    _check_tree_matches(variables, ours, left)
+    with _stable_topk():
+        exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
