@@ -26,6 +26,7 @@ from .foundationstereo import FoundationStereo  # noqa: F401
 from .monster import MonSter  # noqa: F401
 from .fastfoundationstereo import FastFoundationStereo  # noqa: F401
 from .nmrf import NMRF  # noqa: F401
+from .iinet import IINet  # noqa: F401
 
 
 def build_model(model_cfg: Config, dtype=None):

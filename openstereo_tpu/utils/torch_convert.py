@@ -967,6 +967,105 @@ def convert_stereobase(sd: Dict[str, np.ndarray]) -> Dict:
 # =========================================================================
 
 # =========================================================================
+# IINet (reference stereo/modeling/models/iinet/)
+# =========================================================================
+
+def _raw_bn(b: TreeBuilder, tkey: str, fpath: str):
+    """torch BatchNorm2d → a directly-named flax nn.BatchNorm at fpath."""
+    b.put("params", f"{fpath}/scale", b.take(f"{tkey}.weight"))
+    b.put("params", f"{fpath}/bias", b.take(f"{tkey}.bias"))
+    b.put("batch_stats", f"{fpath}/mean", b.take(f"{tkey}.running_mean"))
+    b.put("batch_stats", f"{fpath}/var", b.take(f"{tkey}.running_var"))
+
+
+def _iinet_basic(b: TreeBuilder, tpre: str, fpre: str):
+    """IINet BasicBlock (layers.py:26-89, Identity norm → biased convs)."""
+    b.raw_conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.raw_conv(f"{tpre}.conv2", f"{fpre}/conv2")
+    if b.has(f"{tpre}.downsample.0.weight"):
+        b.raw_conv(f"{tpre}.downsample.0", f"{fpre}/downsample")
+
+
+def _iinet_mnv3(b: TreeBuilder, tpre: str, fpre: str):
+    """timm mobilenetv3_large_100 sliced into IINet's 5 stage Sequentials
+    (networks.py:360-371) → backbones/mobilenetv3 tree."""
+    b.raw_conv(f"{tpre}.stage0.0", f"{fpre}/conv_stem")
+    _raw_bn(b, f"{tpre}.stage0.1", f"{fpre}/bn1")
+    # (torch stage seq, inner seq idx, timm stage, n blocks)
+    layout = [("stage1", 0, 0, 1), ("stage2", 0, 1, 2), ("stage3", 0, 2, 3),
+              ("stage4", 0, 3, 4), ("stage4", 1, 4, 2), ("stage5", 0, 5, 3)]
+    for sname, inner, tstage, nblocks in layout:
+        for j in range(nblocks):
+            tp = f"{tpre}.{sname}.{inner}.{j}"
+            fp = f"{fpre}/blocks_{tstage}_{j}"
+            if tstage == 0:
+                b.raw_conv(f"{tp}.conv_dw", f"{fp}/conv_dw")
+                _raw_bn(b, f"{tp}.bn1", f"{fp}/bn1")
+                b.raw_conv(f"{tp}.conv_pw", f"{fp}/conv_pw")
+                _raw_bn(b, f"{tp}.bn2", f"{fp}/bn2")
+                continue
+            b.raw_conv(f"{tp}.conv_pw", f"{fp}/conv_pw")
+            _raw_bn(b, f"{tp}.bn1", f"{fp}/bn1")
+            b.raw_conv(f"{tp}.conv_dw", f"{fp}/conv_dw")
+            _raw_bn(b, f"{tp}.bn2", f"{fp}/bn2")
+            if b.has(f"{tp}.se.conv_reduce.weight"):
+                b.raw_conv(f"{tp}.se.conv_reduce", f"{fp}/se/conv_reduce")
+                b.raw_conv(f"{tp}.se.conv_expand", f"{fp}/se/conv_expand")
+            b.raw_conv(f"{tp}.conv_pwl", f"{fp}/conv_pwl")
+            _raw_bn(b, f"{tp}.bn3", f"{fp}/bn3")
+
+
+def convert_iinet(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference iinet/iinet.py:18-120 (unet matching-encoder config)
+    → models/iinet tree."""
+    b = TreeBuilder(sd)
+
+    mm, fm = "matching_model", "matching_model"
+    _iinet_mnv3(b, mm, f"{fm}/trunk")
+    for i in range(1, 5):
+        b.raw_conv(f"{mm}.convs.up_conv{i + 1}.0", f"{fm}/up_conv{i + 1}",
+                   deconv=True)
+        _raw_bn(b, f"{mm}.convs.up_conv{i + 1}.1", f"{fm}/up_bn{i + 1}")
+        b.raw_conv(f"{mm}.convs.in_conv{i}.0", f"{fm}/in_conv{i}")
+        _raw_bn(b, f"{mm}.convs.in_conv{i}.1", f"{fm}/in_bn{i}")
+        if b.has(f"{mm}.convs.out_conv{i}.0.weight"):
+            b.raw_conv(f"{mm}.convs.out_conv{i}.0", f"{fm}/out_conv{i}")
+
+    for i, t in enumerate((0, 2, 4)):
+        b.dense(f"cost_volume.mlp.net.{t}", f"cost_volume/mlp_{i}")
+
+    cv = "cost_volume_net.convs"
+    _iinet_basic(b, f"{cv}.conv_0.0", "cost_volume_net/conv_0a")
+    _iinet_basic(b, f"{cv}.conv_0.1", "cost_volume_net/conv_0b")
+    for i in range(1, 5):
+        _iinet_basic(b, f"{cv}.ds_conv_{i}", f"cost_volume_net/ds_conv_{i}")
+        _iinet_basic(b, f"{cv}.conv_{i}.0", f"cost_volume_net/conv_{i}a")
+        _iinet_basic(b, f"{cv}.conv_{i}.1", f"cost_volume_net/conv_{i}b")
+
+    dd, fd = "depth_decoder", "depth_decoder"
+    for i in range(4, 0, -1):
+        _iinet_basic(b, f"{dd}.convs.right_conv_{i}0",
+                     f"{fd}/right_conv_{i}0")
+        _iinet_basic(b, f"{dd}.convs.up_conv_{i + 1}0",
+                     f"{fd}/up_conv_{i + 1}0")
+        _iinet_basic(b, f"{dd}.convs.in_conv_{i}1.0", f"{fd}/in_conv_{i}1a")
+        _iinet_basic(b, f"{dd}.convs.in_conv_{i}1.conv_0",
+                     f"{fd}/in_conv_{i}1b")
+        if b.has(f"{dd}.refinenets.output_{i}.regresshead.conv1.weight"):
+            tp = f"{dd}.refinenets.output_{i}"
+            fp = f"{fd}/refine_{i}"
+            _iinet_basic(b, f"{tp}.regresshead", f"{fp}/regresshead")
+            b.raw_conv(f"{tp}.disphead.0", f"{fp}/disphead_0")
+            b.raw_conv(f"{tp}.disphead.2", f"{fp}/disphead_1")
+            # maskhead and mask alias the SAME module (networks.py:37-40)
+            b.raw_conv(f"{tp}.maskhead.0", f"{fp}/maskhead_0")
+            b.raw_conv(f"{tp}.maskhead.2", f"{fp}/maskhead_1")
+            b.drop(f"{tp}.mask.")
+
+    return b.finish()
+
+
+# =========================================================================
 # NMRF (reference stereo/modeling/models/nmrf/)
 # =========================================================================
 
@@ -1142,6 +1241,7 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "StereoBase": convert_stereobase,
     "StereoBaseGRU": convert_stereobase,
     "NMRF": convert_nmrf,
+    "IINet": convert_iinet,
 }
 
 

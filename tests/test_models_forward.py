@@ -443,3 +443,19 @@ def test_nmrf_forward():
     out = model.apply(variables, data2, train=True)
     loss, _ = model.get_loss(out, data2)
     assert np.isfinite(float(loss))
+
+
+def test_iinet_forward():
+    """IINet forward/loss/grad at tiny shapes, both loss stages
+    (reference iinet.py:88-131; part-1 trains uncertainty only)."""
+    from openstereo_tpu.models.iinet import IINet
+
+    data = _data(h=32, w=64)
+    model = IINet(max_disp=192)
+    _check_model(model, data)
+
+    out, _ = IINet(max_disp=192, uncer_only=True).apply(
+        jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(data),
+        data, train=True, mutable=["batch_stats"])
+    loss, _ = IINet(max_disp=192, uncer_only=True).get_loss(out, data)
+    assert np.isfinite(float(loss))

@@ -602,3 +602,64 @@ def test_nmrf_swin_forward_parity():
         exp = _run_ref(tmodel, left, right)
     got = _run_ours(ours, variables, left, right)
     np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+# =========================================================================
+# IINet (reference stereo/modeling/models/iinet/)
+# =========================================================================
+
+@contextlib.contextmanager
+def _stable_sort():
+    """IINet's hypothesis selection sorts the cost volume whose left-edge
+    pixels carry EXACT ties (zero right features for every d > x give the
+    scoring MLP identical inputs) — determinise torch's unstable descending
+    sort to the stable order jnp.argsort provides."""
+    import torch
+
+    orig = torch.Tensor.sort
+
+    def sort(self, dim=-1, descending=False, stable=False):
+        idx = torch.argsort(self, dim=dim, descending=descending,
+                            stable=True)
+        return torch.return_types.sort((self.gather(dim, idx), idx))
+
+    torch.Tensor.sort = sort
+    try:
+        yield
+    finally:
+        torch.Tensor.sort = orig
+
+
+def test_iinet_forward_parity():
+    """Full IINet (unet matching encoder on the MobileNetV3 trunk, MLP
+    cost-volume pyramid with hypothesis gathers, CVEncoder, UNet++-decoder
+    with convex upsamplers) — converted-weight f64 parity."""
+    import fake_iinet_deps
+
+    from openstereo_tpu.models.iinet import IINet
+
+    fake_iinet_deps.install()
+    ref_mod = load_ref_module("stereo.modeling.models.iinet.iinet")
+    tmodel = ref_mod.IINet(NS(
+        MAX_DISP=192, MATCHING_FEATURE_DIMS=16, CV_ENCODER_TYPE="multi_scale_encoder",
+        MATCHING_SCALE=2, MULTISCALE=2, DEPTH_DECODER_NAME="unet_pp",
+        OUT_SCALE=4, FEATURE_VOLUME_TYPE="ms_cost_volume", DISP_SCALE=16,
+        DOT_DIM=1, MATCHING_ENCODER_TYPE="unet"))
+    _randomize_bn_stats(tmodel, seed=7)
+
+    variables = convert("IINet", {k: v.numpy()
+                                  for k, v in tmodel.state_dict().items()})
+    ours = IINet(dtype=jnp.float64)
+
+    rng = np.random.RandomState(41)
+    h, w = 96, 256
+    left = (rng.rand(1, h, w, 3) * 2 - 1).astype(np.float32)
+    right = (rng.rand(1, h, w, 3) * 2 - 1).astype(np.float32)
+
+    _check_tree_matches(variables, ours, left)
+    with _stable_sort():
+        exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    # ours exports full-disparity units (= reference disp_pred x 16,
+    # iinet/trainer.py:134)
+    np.testing.assert_allclose(got, exp * 16.0, atol=2e-3, rtol=0)
