@@ -55,13 +55,18 @@ _STAGES = [
 
 
 class MobileNetV2Features(nn.Module):
-    """Returns [c1@1/2, c2@1/4, c3@1/8, c4@1/16, c5@1/32] feature maps."""
+    """Returns [c1@1/2, c2@1/4, c3@1/8, c4@1/16, c5@1/32] feature maps.
+
+    stem_act=False reproduces CoEx's trunk quirk — its Feature.forward
+    applies bn1 without timm's act1 (reference coex_backbone.py:62-63)."""
 
     dtype: Any = jnp.float32
+    stem_act: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> List[jnp.ndarray]:
-        x = ConvBlock(32, 3, strides=2, norm="batch", act=relu6,
+        x = ConvBlock(32, 3, strides=2, norm="batch",
+                      act=relu6 if self.stem_act else None,
                       dtype=self.dtype, name="stem")(x, train=train)
         taps = []
         for si, (t, c, n, s) in enumerate(_STAGES):

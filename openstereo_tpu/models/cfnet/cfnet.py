@@ -36,11 +36,31 @@ from ...registry import MODELS
 from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
-from ..psmnet.psmnet import ResBlock
 
 
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class MishResBlock(nn.Module):
+    """conv-bn-MISH + conv-bn with additive skip — CFNet's BasicBlock uses
+    Mish, not the PSMNet ReLU (reference cfnet/submodule.py:263-288)."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = ConvBlock(self.features, 3, strides=self.strides, norm="batch",
+                      act=mish, dtype=self.dtype, name="conv1")(x, train=train)
+        y = ConvBlock(self.features, 3, norm="batch", dtype=self.dtype,
+                      name="conv2")(y, train=train)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            x = ConvBlock(self.features, 1, strides=self.strides,
+                          norm="batch", dtype=self.dtype,
+                          name="downsample")(x, train=train)
+        return y + x
 
 
 class CFFeatures(nn.Module):
@@ -57,11 +77,11 @@ class CFFeatures(nn.Module):
         y = cb(32, 3, 2, "firstconv0")(x, train=train)
         y = cb(32, 3, 1, "firstconv1")(y, train=train)
         y = cb(32, 3, 1, "firstconv2")(y, train=train)
-        l2 = ResBlock(64, dtype=self.dtype, name="layer2")(y, train=train)     # 1/2
-        l3 = ResBlock(128, strides=2, dtype=self.dtype, name="layer3")(l2, train=train)
-        l4 = ResBlock(192, strides=2, dtype=self.dtype, name="layer4")(l3, train=train)
-        l5 = ResBlock(256, strides=2, dtype=self.dtype, name="layer5")(l4, train=train)
-        l6 = ResBlock(512, strides=2, dtype=self.dtype, name="layer6")(l5, train=train)
+        l2 = MishResBlock(64, dtype=self.dtype, name="layer2")(y, train=train)     # 1/2
+        l3 = MishResBlock(128, strides=2, dtype=self.dtype, name="layer3")(l2, train=train)
+        l4 = MishResBlock(192, strides=2, dtype=self.dtype, name="layer4")(l3, train=train)
+        l5 = MishResBlock(256, strides=2, dtype=self.dtype, name="layer5")(l4, train=train)
+        l6 = MishResBlock(512, strides=2, dtype=self.dtype, name="layer6")(l5, train=train)
 
         # PSP pooling, sum fusion (reference submodule.py:9-96, icnet mode)
         h6, w6 = l6.shape[1], l6.shape[2]
@@ -73,8 +93,8 @@ class CFFeatures(nn.Module):
             p = nn.avg_pool(l6, (kh, kw), strides=(kh, kw))
             p = cb(512, 1, 1, f"psp{i}")(p, train=train)
             p = jax.image.resize(p, l6.shape, method="bilinear")
-            pp = pp + p
-        l6 = pp
+            pp = pp + 0.25 * p
+        l6 = mish(pp / 2.0)  # reference submodule.py:60-63 (sum fusion)
 
         def up2(v, f, name):
             v = jax.image.resize(v, (v.shape[0], v.shape[1] * 2, v.shape[2] * 2, v.shape[3]),
@@ -116,11 +136,15 @@ class HourglassUp(nn.Module):
         cb3 = lambda f, k, s, name, **kw: ConvBlock(  # noqa: E731
             f, k, strides=s, norm="batch", act=mish, ndim=3, dtype=self.dtype,
             name=name, **kw)
-        conv1 = nn.Conv(c * 2, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+        # torch-symmetric p=1 (XLA SAME pads (0,1) for stride 2 — half-pixel
+        # shift vs the reference; see layers.ConvBlock)
+        conv1 = nn.Conv(c * 2, (3, 3, 3), strides=(2, 2, 2),
+                        padding=[(1, 1)] * 3,
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
         conv1 = cb3(c * 2, 3, 1, "combine1")(jnp.concatenate([conv1, feat4], -1), train=train)
         conv2 = cb3(c * 2, 3, 1, "conv2")(conv1, train=train)
-        conv3 = nn.Conv(c * 4, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+        conv3 = nn.Conv(c * 4, (3, 3, 3), strides=(2, 2, 2),
+                        padding=[(1, 1)] * 3,
                         use_bias=False, dtype=self.dtype, name="conv3")(conv2)
         conv3 = cb3(c * 4, 3, 1, "combine2")(jnp.concatenate([conv3, feat5], -1), train=train)
         conv4 = cb3(c * 4, 3, 1, "conv4")(conv3, train=train)

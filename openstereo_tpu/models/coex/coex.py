@@ -12,9 +12,8 @@ coex_cost_processor.py,coex_disp_processor.py}):
 - top-k (k=2) soft-argmax regression + superpixel upsample;
 - loss 0.77·(1.0·full + 0.3·low) (reference coex.py:51-63).
 
-Divergence note: the reference trunk omits the stem activation
-(coex_backbone.py:63 applies bn1 without act); we keep the standard
-MobileNetV2 stem (conv-bn-relu6) — trained from scratch either way.
+The trunk reproduces the reference quirk of applying the stem BN without
+timm's activation (coex_backbone.py:62-63, stem_act=False).
 """
 
 from __future__ import annotations
@@ -71,7 +70,8 @@ class CoExNet(nn.Module):
         left, right = data["left"], data["right"]
         b, h, w, _ = left.shape
 
-        trunk = MobileNetV2Features(dtype=self.dtype, name="trunk")
+        trunk = MobileNetV2Features(stem_act=False, dtype=self.dtype,
+                                    name="trunk")
         up = FeatUp(dtype=self.dtype, name="up")
         extract = lambda x: up(trunk(x, train=train)[1:], train=train)  # noqa: E731
         if train:

@@ -58,9 +58,13 @@ def _interp_matrix_ac(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
     (torch F.interpolate(..., align_corners=True) semantics)."""
     if n_in == 1:
         return jnp.ones((n_out, 1), dtype)
-    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+    # interpolation positions in the promoted dtype: f32 internals would
+    # inject ~1e-7 relative error, which f64 parity tests see as 1e-5-level
+    # disparity-sample drift (floor() then lands on different integers)
+    cdt = jnp.promote_types(jnp.float32, dtype)
+    pos = jnp.arange(n_out, dtype=cdt) * (n_in - 1) / max(n_out - 1, 1)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
-    frac = pos - lo.astype(jnp.float32)
+    frac = pos - lo.astype(cdt)
     rows = jnp.arange(n_out)
     mat = jnp.zeros((n_out, n_in), dtype)
     mat = mat.at[rows, lo].set((1.0 - frac).astype(dtype))
@@ -79,10 +83,11 @@ def _interp_matrix_hp(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
     matters (e.g. the cascade models' sample-grid pyramid)."""
     if n_in == 1:
         return jnp.ones((n_out, 1), dtype)
-    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    cdt = jnp.promote_types(jnp.float32, dtype)
+    pos = (jnp.arange(n_out, dtype=cdt) + 0.5) * (n_in / n_out) - 0.5
     pos = jnp.clip(pos, 0.0, n_in - 1)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
-    frac = pos - lo.astype(jnp.float32)
+    frac = pos - lo.astype(cdt)
     rows = jnp.arange(n_out)
     mat = jnp.zeros((n_out, n_in), dtype)
     mat = mat.at[rows, lo].set((1.0 - frac).astype(dtype))

@@ -967,6 +967,171 @@ def convert_stereobase(sd: Dict[str, np.ndarray]) -> Dict:
 # =========================================================================
 
 # =========================================================================
+# CoEx (reference stereo/modeling/models/coex/)
+# =========================================================================
+
+def _coex_basicconv(b: TreeBuilder, tpre: str, fpre: str, bn: bool = True,
+                    deconv: bool = False):
+    """coex BasicConv (submodule.py:43-70) → BasicConvBN's inner ConvBlock."""
+    b.conv(f"{tpre}.conv", f"{fpre}/conv", deconv=deconv)
+    if bn:
+        b.bn(f"{tpre}.bn", f"{fpre}/conv")
+
+
+def _coex_channel_att(b: TreeBuilder, tpre: str, fpre: str):
+    """coex channelAtt.im_att = Seq(BasicConv, Conv2d)
+    (coex_cost_processor.py:68-81) → flax FeatureAtt att0/att1."""
+    _coex_basicconv(b, f"{tpre}.im_att.0", f"{fpre}/att0")
+    b.raw_conv(f"{tpre}.im_att.1", f"{fpre}/att1")
+
+
+def convert_coex(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference coex.py:11-63 (+backbone/cost/disp processors)
+    → models/coex tree."""
+    b = TreeBuilder(sd)
+    _timm_trunk_sliced(b, "Backbone.feat", "trunk")
+    # Feature carries its own FeatUp that forward never calls
+    # (coex_backbone.py:58, forward :61-68 returns raw taps)
+    b.drop("Backbone.feat.up.")
+
+    for t, f in (("deconv32_16", "deconv32_16"), ("deconv16_8", "deconv16_8"),
+                 ("deconv8_4", "deconv8_4")):
+        _conv2x(b, f"Backbone.up.{t}", f"up/{t}", bn=True)
+    _coex_basicconv(b, "Backbone.up.conv4", "up/conv4")
+
+    for s in ("2", "4"):
+        _coex_basicconv(b, f"Backbone.stem_{s}.0", f"stem_{s}a")
+        b.put("params", f"stem_{s}b/conv/conv/kernel",
+              conv_kernel(b.take(f"Backbone.stem_{s}.1.weight")))
+        b.bn(f"Backbone.stem_{s}.2", f"stem_{s}b/conv")
+
+    cp = "CostProcessor"
+    _coex_basicconv(b, f"{cp}.cost_volume.conv", "cv_conv")
+    b.raw_conv(f"{cp}.cost_volume.desc", "cv_desc")
+    agg = f"{cp}.cost_agg"
+    _coex_basicconv(b, f"{agg}.conv_stem", "conv_stem")
+    _coex_channel_att(b, f"{agg}.channelAttStem", "att_stem")
+    for i in range(3):
+        for n in range(2):
+            _coex_basicconv(b, f"{agg}.conv_down.{i}.{n}", f"down{i}_{n}")
+        _coex_channel_att(b, f"{agg}.channelAttDown.{i}", f"att_down{i}")
+    for j in range(3):
+        _coex_basicconv(b, f"{agg}.conv_up.{j}", f"up{j}", bn=j != 0,
+                        deconv=True)
+    # BasicConv registers a bn even when use_bn=False (submodule.py:46-61);
+    # conv_up.0 runs bn-free in forward — its stats are never used
+    b.drop(f"{agg}.conv_up.0.bn.")
+    for j in (1, 2):
+        _coex_basicconv(b, f"{agg}.conv_skip.{j}", f"skip{j}")
+        _coex_basicconv(b, f"{agg}.conv_agg.{j}.0", f"agg{j}a")
+        _coex_basicconv(b, f"{agg}.conv_agg.{j}.1", f"agg{j}b")
+        _coex_channel_att(b, f"{agg}.channelAtt.{j}", f"att_up{j}")
+    # index-0 skip/agg/att modules exist but forward breaks before using
+    # them (coex_cost_processor.py:225-235)
+    b.drop(f"{agg}.conv_skip.0."), b.drop(f"{agg}.conv_agg.0.")
+    b.drop(f"{agg}.channelAtt.0.")
+
+    dp = "DispProcessor"
+    b.raw_conv(f"{dp}.spx.0", "spx", deconv=True)
+    _conv2x(b, f"{dp}.spx_2", "spx_2", bn=True)
+    _coex_basicconv(b, f"{dp}.spx_4.0", "spx_4a")
+    b.put("params", "spx_4b/conv/conv/kernel",
+          conv_kernel(b.take(f"{dp}.spx_4.1.weight")))
+    b.bn(f"{dp}.spx_4.2", "spx_4b/conv")
+    return b.finish()
+
+
+# =========================================================================
+# CFNet (reference stereo/modeling/models/cfnet/)
+# =========================================================================
+
+def _cf_resblock(b: TreeBuilder, tpre: str, fpre: str):
+    """cfnet BasicBlock (submodule.py:263-288): conv1=Seq(convbn,Mish),
+    conv2=convbn, optional downsample=Seq(conv,bn)."""
+    b.convbn(f"{tpre}.conv1.0", f"{fpre}/conv1")
+    b.convbn(f"{tpre}.conv2", f"{fpre}/conv2")
+    if b.has(f"{tpre}.downsample.0.weight"):
+        b.convbn(f"{tpre}.downsample", f"{fpre}/downsample")
+
+
+def _cf_mish_hourglass(b: TreeBuilder, tpre: str, fpre: str):
+    """cfnet hourglass (cfnet.py:222-263)."""
+    for i in (1, 2, 3, 4):
+        b.convbn(f"{tpre}.conv{i}.0", f"{fpre}/conv{i}")
+    b.convbn(f"{tpre}.conv5", f"{fpre}/conv5", deconv=True)
+    b.convbn(f"{tpre}.conv6", f"{fpre}/conv6", deconv=True)
+    b.convbn(f"{tpre}.redir1", f"{fpre}/redir1")
+    b.convbn(f"{tpre}.redir2", f"{fpre}/redir2")
+
+
+def _cf_classif(b: TreeBuilder, tpre: str, fpre: str):
+    """Seq(convbn_3d, Mish, Conv3d) head → {name}a ConvBlock + {name}b."""
+    b.convbn(f"{tpre}.0", f"{fpre}a")
+    b.conv(f"{tpre}.2", f"{fpre}b")
+
+
+def convert_cfnet(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference cfnet.py:265-702 → models/cfnet tree."""
+    b = TreeBuilder(sd)
+    fe, f = "feature_extraction", "features"
+    for i, t in enumerate((0, 2, 4)):
+        b.convbn(f"{fe}.firstconv.{t}", f"{f}/firstconv{i}")
+    for li in (2, 3, 4, 5, 6):
+        _cf_resblock(b, f"{fe}.layer{li}.0", f"{f}/layer{li}")
+    for i in range(4):
+        b.convbn(f"{fe}.pyramid_pooling.path_module_list.{i}.cbr_unit",
+                 f"{f}/psp{i}")
+    for i in (6, 5, 4, 3):
+        b.convbn(f"{fe}.upconv{i}.1", f"{f}/upconv{i}")
+        b.convbn(f"{fe}.iconv{i - 1}.0", f"{f}/iconv{i - 1}")
+    for n in (2, 3, 4, 5, 6):
+        b.convbn(f"{fe}.gw{n}.0", f"{f}/gw{n}a")
+        b.raw_conv(f"{fe}.gw{n}.2", f"{f}/gw{n}b")
+        b.convbn(f"{fe}.concat{n}.0", f"{f}/cat{n}a")
+        b.raw_conv(f"{fe}.concat{n}.2", f"{f}/cat{n}b")
+
+    # fused-stage dres stacks: dres0/dres1 = Seq(convbn_3d, Mish)x2
+    for tsuf, fpre in (("", "dres4"), ("_5", "dres5"), ("_6", "dres6")):
+        b.convbn(f"dres0{tsuf}.0", f"{fpre}_0a")
+        b.convbn(f"dres0{tsuf}.2", f"{fpre}_0b")
+        b.convbn(f"dres1{tsuf}.0", f"{fpre}_1a")
+        b.convbn(f"dres1{tsuf}.2", f"{fpre}_1b")
+
+    # hourglassup (combine1): conv1/conv3 bare Conv3d; combine3/redir3
+    # instantiated but unused in forward (cfnet.py:198-203)
+    hu = "combine1"
+    b.raw_conv(f"{hu}.conv1", f"{hu}/conv1")
+    b.raw_conv(f"{hu}.conv3", f"{hu}/conv3")
+    b.convbn(f"{hu}.combine1.0", f"{hu}/combine1")
+    b.convbn(f"{hu}.combine2.0", f"{hu}/combine2")
+    b.convbn(f"{hu}.conv2.0", f"{hu}/conv2")
+    b.convbn(f"{hu}.conv4.0", f"{hu}/conv4")
+    b.convbn(f"{hu}.conv8", f"{hu}/conv8", deconv=True)
+    b.convbn(f"{hu}.conv9", f"{hu}/conv9", deconv=True)
+    b.convbn(f"{hu}.redir1", f"{hu}/redir1")
+    b.convbn(f"{hu}.redir2", f"{hu}/redir2")
+    b.drop(f"{hu}.combine3.")
+    b.drop(f"{hu}.redir3.")
+
+    _cf_mish_hourglass(b, "dres3", "dres3")
+    for s, c in (("s3", "3"), ("s2", "2")):
+        b.convbn(f"confidence0_{s}.0", f"conf_{s}_0a")
+        b.convbn(f"confidence0_{s}.2", f"conf_{s}_0b")
+        b.convbn(f"confidence1_{s}.0", f"conf_{s}_1a")
+        b.convbn(f"confidence1_{s}.2", f"conf_{s}_1b")
+        _cf_mish_hourglass(b, f"confidence2_{s}", f"conf2_{s}")
+        _cf_mish_hourglass(b, f"confidence3_{s}", f"conf3_{s}")
+        for head in ("classif0", "classif1", "classifmid"):
+            _cf_classif(b, f"confidence_{head}_{s}", f"conf_{head}_{s}")
+    for head in ("classif0", "classif1", "classif2"):
+        _cf_classif(b, head, head)
+
+    for p in ("gamma_s3", "beta_s3", "gamma_s2", "beta_s2"):
+        b.put("params", p, b.take(p).reshape(()))
+    return b.finish()
+
+
+# =========================================================================
 # IINet (reference stereo/modeling/models/iinet/)
 # =========================================================================
 
@@ -1241,6 +1406,9 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "StereoBase": convert_stereobase,
     "StereoBaseGRU": convert_stereobase,
     "NMRF": convert_nmrf,
+    "CFNet": convert_cfnet,
+    "CoExNet": convert_coex,
+    "CoEx": convert_coex,
     "IINet": convert_iinet,
 }
 

@@ -663,3 +663,63 @@ def test_iinet_forward_parity():
     # ours exports full-disparity units (= reference disp_pred x 16,
     # iinet/trainer.py:134)
     np.testing.assert_allclose(got, exp * 16.0, atol=2e-3, rtol=0)
+
+
+def test_cfnet_forward_parity():
+    """Full CFNet: Mish pyramid encoder + PSP, fused 3-scale volumes with
+    hourglassup, uncertainty-driven dynamic-range stages at 1/4 and 1/2 —
+    converted-weight f64 parity."""
+    import torch
+
+    from openstereo_tpu.models.cfnet import CFNet
+
+    ref_mod = load_ref_module("stereo.modeling.models.cfnet.cfnet")
+    tmodel = ref_mod.CFNet(NS(MAX_DISP=MAX_DISP))
+    _randomize_bn_stats(tmodel, seed=11)
+
+    variables = convert("CFNet", {k: v.numpy()
+                                  for k, v in tmodel.state_dict().items()})
+    ours = CFNet(max_disp=MAX_DISP, dtype=jnp.float64)
+
+    left, right = _inputs(seed=12)
+    _check_tree_matches(variables, ours, left, train=True)
+    # UniformSampler does torch.arange(device=tensor.get_device()) which is
+    # -1 (invalid) on CPU (submodule.py:306-310) — a CUDA-only-ism with no
+    # numerical meaning; neutralise for the CPU oracle
+    orig_gd = torch.Tensor.get_device
+    torch.Tensor.get_device = lambda self: None
+    try:
+        exp = _run_ref(tmodel, left, right)
+    finally:
+        torch.Tensor.get_device = orig_gd
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-3, rtol=0)
+
+
+def test_coex_forward_parity():
+    """Full CoEx: BN-quirk MobileNetV2 trunk (stem BN without act), cosine
+    attention cost volume, GCE-gated 3D UNet, top-k regression + superpixel
+    upsample — converted-weight f64 parity."""
+    import fake_timm
+
+    from openstereo_tpu.models.coex import CoExNet
+
+    fake_timm.install()
+    ref_mod = load_ref_module("stereo.modeling.models.coex.coex")
+    tmodel = ref_mod.CoEx(NS(MAX_DISP=MAX_DISP, SPIXEL_BRANCH_CHANNELS=[32, 48],
+                             REGRESSION_TOPK=2, CHANS=[16, 24, 32, 96, 160],
+                             MATCHING_WEIGHTED=False, MATCHING_HEAD=1, GCE=True,
+                             AGGREGATION_DISP_STRIDES=2,
+                             AGGREGATION_CHANNELS=[16, 32, 48],
+                             AGGREGATION_BLOCKS_NUM=[2, 2, 2]))
+    _randomize_bn_stats(tmodel, seed=13)
+
+    variables = convert("CoExNet", {k: v.numpy()
+                                    for k, v in tmodel.state_dict().items()})
+    ours = CoExNet(max_disp=MAX_DISP, dtype=jnp.float64)
+
+    left, right = _inputs(seed=14)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-3, rtol=0)

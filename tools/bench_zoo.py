@@ -34,6 +34,18 @@ ZOO = {
     "StereoBase": ("StereoBase", {"use_concat_volume": True, "concat_channels": 8,
                                   "slow_fast_gru": False, "eval_iters": 32}, (544, 960)),
     "IGEV-RT": ("IGEVRT", {"valid_iters": 8}, (544, 960)),
+    "IGEV++": ("IGEVPP", {"valid_iters": 32, "max_disp": 768}, (544, 960)),
+    # foundation trio: vits trunks (cfgs note — vitl pretrained weights are
+    # unobtainable in this zero-egress image; cfgs pin vits)
+    "FoundationStereo": ("FoundationStereo", {"vit_size": "vits",
+                                              "valid_iters": 32}, (544, 960)),
+    "FastFoundationStereo": ("FastFoundationStereo", {"valid_iters": 32},
+                             (544, 960)),
+    "MonSter": ("MonSter", {"encoder": "vits", "valid_iters": 32,
+                            "mix_iters": 2}, (544, 960)),
+    "NMRF": ("NMRF", {"model_type": "swin", "max_disp": 320}, (544, 960)),
+    "NMRF-res": ("NMRF", {"model_type": "resnet", "max_disp": 320}, (544, 960)),
+    "IINet": ("IINet", {}, (544, 960)),
 }
 
 
@@ -78,7 +90,8 @@ def main():
     for name in args.models:
         cls_name, kwargs, (h, w) = ZOO[name]
         try:
-            model = MODELS.get(cls_name)(max_disp=192, dtype=jnp.bfloat16, **kwargs)
+            kw = {"max_disp": 192, "dtype": jnp.bfloat16, **kwargs}
+            model = MODELS.get(cls_name)(**kw)
             rng = np.random.RandomState(0)
             data = {
                 "left": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
