@@ -23,7 +23,8 @@ from typing import Any, Dict, List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import correlation_volume, disparity_regression, disp_warp, resize_bilinear
+from ...ops import correlation_volume, disparity_regression, resize_linear_torch
+from ...ops.sampler import bilinear_sampler
 from ...ops.deform_conv import modulated_deform_conv
 from ...registry import MODELS
 from ..layers import ConvBlock, leaky_relu, head_dtype, siamese
@@ -46,8 +47,12 @@ class DeformConv2d(nn.Module):
     def __call__(self, x):
         k, dg = self.kernel_size, self.deformable_groups
         kk = k * k
+        # torch-symmetric padding p=dilation (XLA SAME pads asymmetrically
+        # at stride 2 — a half-pixel shift vs the reference offset conv)
+        pad = self.dilation * (k - 1) // 2
         om = nn.Conv(dg * 3 * kk, (k, k), strides=(self.strides,) * 2,
-                     kernel_dilation=(self.dilation,) * 2, padding="SAME",
+                     kernel_dilation=(self.dilation,) * 2,
+                     padding=[(pad, pad)] * 2,
                      feature_group_count=dg, use_bias=True,
                      kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros,
@@ -222,7 +227,7 @@ class AdaptiveAggregationModule(nn.Module):
                     ex = ConvBlock(di, 3, strides=2, norm="batch", dtype=self.dtype,
                                    name=f"fuse{i}_{j}_last")(ex, train=train)
                 if ex.shape[1:3] != volumes[i].shape[1:3]:
-                    ex = resize_bilinear(ex, volumes[i].shape[1:3])
+                    ex = resize_linear_torch(ex, volumes[i].shape[1:3], (1, 2))
                 acc = ex if acc is None else acc + ex
             fused.append(nn.leaky_relu(acc, 0.2))
         return fused
@@ -243,17 +248,23 @@ class StereoNetRefinement(nn.Module):
         if scale == 1.0:
             disp = low_disp
         else:
-            disp = resize_bilinear(low_disp[..., None], (h, w))[..., 0] * scale
+            # torch F.interpolate(bilinear, align_corners=False): no
+            # antialiasing (jax.image.resize would widen the kernel)
+            disp = resize_linear_torch(low_disp[..., None], (h, w),
+                                       (1, 2))[..., 0] * scale
 
         x = jnp.concatenate([disp[..., None], left_img], axis=-1)  # [B,H,W,4]
         y = ConvBlock(32, 3, norm="batch", act=leaky_relu(0.2), dtype=self.dtype,
                       name="conv")(x, train=train)
+        # dilated BasicBlocks run LeakyReLU(0.2) mid AND post-add
+        # (reference submodule.py:33-66, leaky_relu=True default)
         for bi, dil in enumerate((1, 2, 4, 8, 1, 1)):
-            r = ConvBlock(32, 3, dilation=dil, norm="batch", act=nn.relu,
+            r = ConvBlock(32, 3, dilation=dil, norm="batch",
+                          act=leaky_relu(0.2),
                           dtype=self.dtype, name=f"dil{bi}a")(y, train=train)
             r = ConvBlock(32, 3, dilation=dil, norm="batch", dtype=self.dtype,
                           name=f"dil{bi}b")(r, train=train)
-            y = nn.relu(y + r)
+            y = nn.leaky_relu(y + r, 0.2)
         res = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
                       name="final")(y)[..., 0]
         return nn.relu(disp + res)
@@ -271,21 +282,37 @@ class StereoDRNetRefinement(nn.Module):
         if scale == 1.0:
             disp = low_disp
         else:
-            disp = resize_bilinear(low_disp[..., None], (h, w))[..., 0] * scale
+            # torch F.interpolate(bilinear, align_corners=False): no
+            # antialiasing (jax.image.resize would widen the kernel)
+            disp = resize_linear_torch(low_disp[..., None], (h, w),
+                                       (1, 2))[..., 0] * scale
 
-        warped, _ = disp_warp(right_img, disp)
+        # reference disp_warp (submodule.py:770-790): grid normalised with
+        # 2x/(W-1)-1 through grid_sample's default align_corners=False and
+        # BORDER padding → effective source (x-d)·W/(W-1) - 0.5, y·H/(H-1)
+        # - 0.5, clamped — kept exactly (clamping coords = border mode)
+        bh, bw = left_img.shape[1], left_img.shape[2]
+        xs = jnp.arange(bw, dtype=disp.dtype)[None, None, :]
+        ys = jnp.arange(bh, dtype=disp.dtype)[None, :, None]
+        sx = jnp.clip((xs - disp) * (bw / max(bw - 1, 1)) - 0.5, 0.0, bw - 1)
+        sy = jnp.clip((ys * (bh / max(bh - 1, 1)) - 0.5)
+                      + jnp.zeros_like(disp), 0.0, bh - 1)
+        warped = bilinear_sampler(right_img, jnp.stack([sx, sy], axis=-1))
         error = warped - left_img
         c1 = ConvBlock(16, 3, norm="batch", act=leaky_relu(0.2), dtype=self.dtype,
                        name="conv1")(jnp.concatenate([error, left_img], -1), train=train)
         c2 = ConvBlock(16, 3, norm="batch", act=leaky_relu(0.2), dtype=self.dtype,
                        name="conv2")(disp[..., None], train=train)
         y = jnp.concatenate([c1, c2], axis=-1)
+        # dilated BasicBlocks run LeakyReLU(0.2) mid AND post-add
+        # (reference submodule.py:33-66, leaky_relu=True default)
         for bi, dil in enumerate((1, 2, 4, 8, 1, 1)):
-            r = ConvBlock(32, 3, dilation=dil, norm="batch", act=nn.relu,
+            r = ConvBlock(32, 3, dilation=dil, norm="batch",
+                          act=leaky_relu(0.2),
                           dtype=self.dtype, name=f"dil{bi}a")(y, train=train)
             r = ConvBlock(32, 3, dilation=dil, norm="batch", dtype=self.dtype,
                           name=f"dil{bi}b")(r, train=train)
-            y = nn.relu(y + r)
+            y = nn.leaky_relu(y + r, 0.2)
         res = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
                       name="final")(y)[..., 0]
         return nn.relu(disp + res)
@@ -350,8 +377,8 @@ class AANet(nn.Module):
                 li, ri = left, right
             else:
                 hw = (int(left.shape[1] * scale), int(left.shape[2] * scale))
-                li = resize_bilinear(left, hw)
-                ri = resize_bilinear(right, hw)
+                li = resize_linear_torch(left, hw, (1, 2))
+                ri = resize_linear_torch(right, hw, (1, 2))
             refine_cls = (StereoDRNetRefinement
                           if self.refinement_type == "stereodrnet"
                           else StereoNetRefinement)
@@ -372,6 +399,7 @@ class AANet(nn.Module):
         for p, wgt in zip(pred["disp_preds"], self.loss_weights):
             scale = w / p.shape[2]
             if scale != 1.0:
-                p = resize_bilinear(p[..., None], (h, w))[..., 0] * scale
+                p = resize_linear_torch(p[..., None], (h, w),
+                                        (1, 2))[..., 0] * scale
             loss = loss + wgt * masked_smooth_l1(p, gt, mask)
         return loss, {"loss_disp": loss}

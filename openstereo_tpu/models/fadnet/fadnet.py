@@ -26,7 +26,8 @@ from typing import Any, Dict, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import correlation_volume, disp_warp
+from ...ops import correlation_volume
+from ...ops.sampler import bilinear_sampler
 from ...registry import MODELS
 from ..layers import ConvBlock, DeconvBlock, leaky_relu, siamese
 from ..losses import masked_smooth_l1
@@ -34,21 +35,29 @@ from ..losses import masked_smooth_l1
 
 class FadResBlock(nn.Module):
     """conv-bn-relu-conv-bn (+1×1 conv-bn shortcut) → relu
-    (reference submodule.py:350-378)."""
+    (reference submodule.py:350-378).
+
+    dyres=True drops the bias of conv1 and the shortcut — the stage-1
+    conv3_1 is a DyRes whose DynamicConv2d carries no bias
+    (submodule.py:261-320; under static XLA shapes the weight slicing
+    reduces to a plain conv over the actual input channels)."""
 
     features: int
     strides: int = 1
+    dyres: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = ConvBlock(self.features, 3, strides=self.strides, use_bias=True,
+        y = ConvBlock(self.features, 3, strides=self.strides,
+                      use_bias=not self.dyres,
                       norm="batch", act=nn.relu, dtype=self.dtype,
                       name="conv1")(x, train=train)
         y = ConvBlock(self.features, 3, use_bias=True, norm="batch",
                       dtype=self.dtype, name="conv2")(y, train=train)
         if self.strides != 1 or x.shape[-1] != self.features:
-            x = ConvBlock(self.features, 1, strides=self.strides, use_bias=True,
+            x = ConvBlock(self.features, 1, strides=self.strides,
+                          use_bias=not self.dyres,
                           norm="batch", dtype=self.dtype, name="shortcut")(x, train=train)
         return nn.relu(y + x)
 
@@ -161,7 +170,8 @@ class FADNet(nn.Module):
         d8 = self.max_disp // 8 + 16
         corr = nn.leaky_relu(correlation_volume(c3l, c3r, d8), 0.1)  # [B,H/8,W/8,D]
         redir = FadResBlock(e, 1, dtype=self.dtype, name="conv_redir")(c3l, train=train)
-        conv3b = FadResBlock(e * 4, 1, dtype=self.dtype, name="conv3_1")(
+        conv3b = FadResBlock(e * 4, 1, dyres=True, dtype=self.dtype,
+                             name="conv3_1")(
             jnp.concatenate([redir, corr], axis=-1), train=train)
         c4b, c5b, c6b = Encoder456(e, dtype=self.dtype, name="enc456")(
             conv3b, train=train)
@@ -170,8 +180,17 @@ class FADNet(nn.Module):
             [c6b, c5b, c4b, conv3b, c2l, c1l, left], train=train)
         flow_c = flows_c[0][..., 0]  # [B,H,W]
 
-        # warp + error input for stage 2 (reference fadnet.py:65-71)
-        warped, _ = disp_warp(right, flow_c)
+        # warp + error input for stage 2 (reference fadnet.py:65-71).
+        # warp_right_to_left normalises with 2x/(W-1)-1 but samples through
+        # grid_sample's default align_corners=False (submodule.py:694-709),
+        # so the effective source position is (x-flow)·W/(W-1) - 0.5 — kept
+        # exactly (a scale/shift quirk of the reference, not true pixels)
+        b_, hh, ww, _ = right.shape
+        xs = jnp.arange(ww, dtype=flow_c.dtype)[None, None, :]
+        ys = jnp.arange(hh, dtype=flow_c.dtype)[None, :, None]
+        src_x = (xs - flow_c) * (ww / max(ww - 1, 1)) - 0.5
+        src_y = (ys * (hh / max(hh - 1, 1)) - 0.5) + jnp.zeros_like(flow_c)
+        warped = bilinear_sampler(right, jnp.stack([src_x, src_y], axis=-1))
         diff = left - warped
         norm_diff = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True) + 1e-8)
         inputs2 = jnp.concatenate(

@@ -508,8 +508,11 @@ class IINet(nn.Module):
             pts = pos * sm                               # [B,3,H,W]
             gx, gy = spatial_gradient(pts)               # each [B,3,H,W]
             n = jnp.cross(gx, gy, axis=1)
-            norm = jnp.sqrt(jnp.sum(n * n, axis=1, keepdims=True))
-            return n / jnp.maximum(norm, 1e-12)
+            # sqrt is regularised INSIDE: d/dx sqrt(x) at x=0 is inf, and a
+            # flat predicted surface yields exactly-zero cross products —
+            # the bare-sqrt gradient NaN'd overfit runs at convergence
+            norm = jnp.sqrt(jnp.sum(n * n, axis=1, keepdims=True) + 1e-12)
+            return n / norm
 
         n_gt = normals(gt / self.disp_scale)
         n_pr = normals(jnp.transpose(pred["disp_raw"], (0, 3, 1, 2)))

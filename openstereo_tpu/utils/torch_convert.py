@@ -967,6 +967,155 @@ def convert_stereobase(sd: Dict[str, np.ndarray]) -> Dict:
 # =========================================================================
 
 # =========================================================================
+# AANet (reference stereo/modeling/models/aanet/)
+# =========================================================================
+
+def _aa_deform_conv2d(b: TreeBuilder, tpre: str, fpre: str):
+    """submodule.py:199-270 DeformConv2d: grouped offset conv (bias) +
+    the deformable kernel."""
+    b.raw_conv(f"{tpre}.offset_conv", f"{fpre}/offset_conv")
+    b.put("params", f"{fpre}/kernel",
+          conv_kernel(b.take(f"{tpre}.deform_conv.weight")))
+
+
+def _aa_bottleneck(b: TreeBuilder, tpre: str, fpre: str, deform: bool):
+    """(Deform)Bottleneck / (Deform)SimpleBottleneck: separate convN/bnN."""
+    b.conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.bn(f"{tpre}.bn1", f"{fpre}/conv1")
+    if deform:
+        _aa_deform_conv2d(b, f"{tpre}.conv2", f"{fpre}/conv2")
+        _raw_bn(b, f"{tpre}.bn2", f"{fpre}/bn2")
+    else:
+        b.conv(f"{tpre}.conv2", f"{fpre}/conv2")
+        b.bn(f"{tpre}.bn2", f"{fpre}/conv2")
+    b.conv(f"{tpre}.conv3", f"{fpre}/conv3")
+    b.bn(f"{tpre}.bn3", f"{fpre}/conv3")
+    if b.has(f"{tpre}.downsample.0.weight"):
+        b.conv(f"{tpre}.downsample.0", f"{fpre}/downsample")
+        b.bn(f"{tpre}.downsample.1", f"{fpre}/downsample")
+
+
+def _aa_refinement(b: TreeBuilder, tpre: str, fpre: str):
+    """StereoDRNetRefinement (submodule.py:717-790)."""
+    b.convbn(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.convbn(f"{tpre}.conv2", f"{fpre}/conv2")
+    for k in range(6):
+        db = f"{tpre}.dilated_blocks.{k}"
+        b.conv(f"{db}.conv1", f"{fpre}/dil{k}a")
+        b.bn(f"{db}.bn1", f"{fpre}/dil{k}a")
+        b.conv(f"{db}.conv2", f"{fpre}/dil{k}b")
+        b.bn(f"{db}.bn2", f"{fpre}/dil{k}b")
+    b.raw_conv(f"{tpre}.final_conv", f"{fpre}/final")
+
+
+def convert_aanet(sd: Dict[str, np.ndarray], num_fusions: int = 6,
+                  num_deform_blocks: int = 2) -> Dict:
+    """Reference aanet.py:4-133 (+ submodule.py) → models/aanet tree."""
+    b = TreeBuilder(sd)
+    fe = "feature_extractor"
+    b.convbn(f"{fe}.conv1", "trunk/stem")
+    for li, n in ((1, 3), (2, 4), (3, 6)):
+        for j in range(n):
+            _aa_bottleneck(b, f"{fe}.layer{li}.{j}", f"trunk/layer{li}_{j}",
+                           deform=(li == 3))
+    for i in range(3):
+        b.raw_conv(f"fpn.lateral_convs.{i}", f"fpn/lateral{i}")
+        b.convbn(f"fpn.fpn_convs.{i}", f"fpn/fpn{i}")
+
+    for i in range(num_fusions):
+        tp = f"aggregation.fusions.{i}"
+        fp = f"fusion{i}"
+        deform = i >= num_fusions - num_deform_blocks
+        for s in range(3):
+            _aa_bottleneck(b, f"{tp}.branches.{s}.0", f"{fp}/branch{s}_0",
+                           deform=deform)
+        for a in range(3):
+            for j in range(3):
+                if a == j:
+                    continue
+                if a < j:
+                    b.convbn(f"{tp}.fuse_layers.{a}.{j}",
+                             f"{fp}/fuse{a}_{j}")
+                else:
+                    for k in range(a - j - 1):
+                        b.convbn(f"{tp}.fuse_layers.{a}.{j}.{k}",
+                                 f"{fp}/fuse{a}_{j}_{k}")
+                    b.convbn(f"{tp}.fuse_layers.{a}.{j}.{a - j - 1}",
+                             f"{fp}/fuse{a}_{j}_last")
+    for i in range(3):
+        b.raw_conv(f"aggregation.final_conv.{i}", f"final_conv{i}")
+
+    for r in range(2):
+        _aa_refinement(b, f"refinement.{r}", f"refine{r}")
+    return b.finish()
+
+
+# =========================================================================
+# FADNet (reference stereo/modeling/models/fadnet/)
+# =========================================================================
+
+def _fad_res(b: TreeBuilder, tpre: str, fpre: str):
+    """fadnet ResBlock (submodule.py:350-378): biased convs + separate BNs."""
+    b.conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.bn(f"{tpre}.bn1", f"{fpre}/conv1")
+    b.conv(f"{tpre}.conv2", f"{fpre}/conv2")
+    b.bn(f"{tpre}.bn2", f"{fpre}/conv2")
+    if b.has(f"{tpre}.shortcut.0.weight"):
+        b.conv(f"{tpre}.shortcut.0", f"{fpre}/shortcut")
+        b.bn(f"{tpre}.shortcut.1", f"{fpre}/shortcut")
+
+
+def _fad_decoder(b: TreeBuilder, tpre: str, fpre: str, pred: str):
+    """7-scale pyramid decoder (fadnet_cost_processor.py:50-86 /
+    fadnet_disp_predictor.py:48-82). iconvK is a stride-1 ConvTranspose2d —
+    identical to a plain conv with spatially-flipped, in/out-swapped
+    weights, which is exactly the deconv_kernel transform."""
+    b.raw_conv(f"{tpre}.{pred}6", f"{fpre}/pred6")
+    for k in range(5, -1, -1):
+        b.conv(f"{tpre}.upconv{k}.0", f"{fpre}/upconv{k}", deconv=True)
+        b.raw_conv(f"{tpre}.upflow{k + 1}to{k}", f"{fpre}/upflow{k}",
+                   deconv=True)
+        b.raw_conv(f"{tpre}.iconv{k}", f"{fpre}/iconv{k}", deconv=True)
+        b.raw_conv(f"{tpre}.{pred}{k}", f"{fpre}/pred{k}")
+
+
+def convert_fadnet(sd: Dict[str, np.ndarray], max_disp: int = 192) -> Dict:
+    """Reference fadnet.py:12-140 → models/fadnet tree."""
+    b = TreeBuilder(sd)
+    b.conv("backbone.conv1.0", "conv1")
+    _fad_res(b, "backbone.conv2", "conv2")
+    _fad_res(b, "backbone.conv3", "conv3")
+
+    cp = "cost_processor"
+    _fad_res(b, f"{cp}.conv_redir", "conv_redir")
+    # DyRes conv3_1: DynamicConv2d weights sized for MAX_RANGE=400
+    # (fadnet_cost_processor.py:12,33); forward slices to the actual
+    # input channels (submodule.py:283-301)
+    in_c = max_disp // 8 + 16 + 32
+    w = b.take(f"{cp}.conv3_1.conv1.conv.weight")[:, :in_c]
+    b.put("params", "conv3_1/conv1/conv/kernel", conv_kernel(w))
+    b.bn(f"{cp}.conv3_1.bn1", "conv3_1/conv1")
+    b.conv(f"{cp}.conv3_1.conv2", "conv3_1/conv2")
+    b.bn(f"{cp}.conv3_1.bn2", "conv3_1/conv2")
+    ws = b.take(f"{cp}.conv3_1.shortcut.0.conv.weight")[:, :in_c]
+    b.put("params", "conv3_1/shortcut/conv/kernel", conv_kernel(ws))
+    b.bn(f"{cp}.conv3_1.shortcut.1", "conv3_1/shortcut")
+    for n in ("conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"):
+        _fad_res(b, f"{cp}.{n}", f"enc456/{n}")
+    _fad_decoder(b, cp, "decoder_c", "pred_flow")
+
+    dp = "disp_predictor"
+    b.conv(f"{dp}.conv1.0", "res_conv1")
+    _fad_res(b, f"{dp}.conv2", "res_conv2")
+    _fad_res(b, f"{dp}.conv3", "res_conv3")
+    _fad_res(b, f"{dp}.conv3_1", "res_conv3_1")
+    for n in ("conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"):
+        _fad_res(b, f"{dp}.{n}", f"res_enc456/{n}")
+    _fad_decoder(b, dp, "decoder_res", "pred_res")
+    return b.finish()
+
+
+# =========================================================================
 # CoEx (reference stereo/modeling/models/coex/)
 # =========================================================================
 
@@ -1408,6 +1557,8 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "NMRF": convert_nmrf,
     "CFNet": convert_cfnet,
     "CoExNet": convert_coex,
+    "FADNet": convert_fadnet,
+    "AANet": convert_aanet,
     "CoEx": convert_coex,
     "IINet": convert_iinet,
 }

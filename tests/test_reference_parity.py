@@ -723,3 +723,77 @@ def test_coex_forward_parity():
     exp = _run_ref(tmodel, left, right)
     got = _run_ours(ours, variables, left, right)
     np.testing.assert_allclose(got, exp, atol=1e-3, rtol=0)
+
+
+def test_fadnet_forward_parity():
+    """Full FADNet: DispNetC (correlation + redir encoder, 7-scale pyramid)
+    → warp/error input → DispNetRes residual pyramid — converted-weight
+    f64 parity (incl. the DyRes weight slicing and the stride-1
+    ConvTranspose iconvs mapped to flipped-kernel convs)."""
+    import fake_torchvision
+
+    from openstereo_tpu.models.fadnet import FADNet
+    from openstereo_tpu.utils.torch_convert import convert_fadnet
+
+    fake_torchvision.install()
+    import sys as _sys
+    import types as _types
+    tv = _sys.modules["torchvision"]
+    if not hasattr(tv, "ops"):
+        ops = _types.ModuleType("torchvision.ops")
+        ops.RoIAlign = None  # imported by fadnet/submodule.py:5, never used
+        _sys.modules["torchvision.ops"] = ops
+        tv.ops = ops
+    elif not hasattr(tv.ops, "RoIAlign"):
+        tv.ops.RoIAlign = None
+    ref_mod = load_ref_module("stereo.modeling.models.fadnet.fadnet")
+    tmodel = ref_mod.FADNet(NS(MAX_DISP=MAX_DISP, RESBLOCK=True,
+                               INPUT_CHANNEL=3, ENCODER_RATIO=16,
+                               DECODER_RATIO=16, IN_PLANES=11))
+    _randomize_bn_stats(tmodel, seed=15)
+
+    variables = convert_fadnet({k: v.numpy()
+                                for k, v in tmodel.state_dict().items()},
+                               max_disp=MAX_DISP)
+    ours = FADNet(max_disp=MAX_DISP, dtype=jnp.float64)
+
+    left, right = _inputs(seed=16)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-3, rtol=0)
+
+
+def test_aanet_forward_parity():
+    """Full AANet: ResNet-40 trunk with deformable bottlenecks, FPN,
+    6 adaptive aggregation modules (deformable in the last 2), soft-argmax
+    pyramid, 2 StereoDRNet refinements — converted-weight f64 parity with
+    the CUDA deformable conv replaced by a pure-torch bilinear im2col
+    (tests/fake_aanet_deform.py)."""
+    import fake_aanet_deform
+
+    from openstereo_tpu.models.aanet import AANet
+
+    fake_aanet_deform.install()
+    ref_mod = load_ref_module("stereo.modeling.models.aanet.aanet")
+    tmodel = ref_mod.aanet(NS(
+        MAX_DISP=MAX_DISP, REFINEMENT_TYPE="stereodrnet", NUM_DOWNSAMPLE=2,
+        AGGREGATION_TYPE="adaptive", NUM_SCALES=3, NO_FEATURE_MDCONV=False,
+        NUM_FUSIONS=6, DEFORMABLE_GROUPS=2, MDCONV_DILATION=2,
+        NO_INTERMEDIATE_SUPERVISION=False, NUM_STAGE_BLOCKS=1,
+        NUM_DEFORM_BLOCKS=2))
+    _randomize_bn_stats(tmodel, seed=17)
+
+    variables = convert("AANet", {k: v.numpy()
+                                  for k, v in tmodel.state_dict().items()})
+    # stride-3 stem: use a /96-divisible size (96 = lcm(3·2^5))
+    rng = np.random.RandomState(18)
+    h = w = 192
+    left = rng.rand(1, h, w, 3).astype(np.float32)
+    right = rng.rand(1, h, w, 3).astype(np.float32)
+
+    ours = AANet(max_disp=MAX_DISP, dtype=jnp.float64)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-3, rtol=0)
