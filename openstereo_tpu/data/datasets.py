@@ -24,6 +24,7 @@ from PIL import Image
 from ..config import Config
 from ..registry import DATASETS
 from . import readers
+from .superpixels import cached_superpixels
 from .transforms import build_transforms
 
 
@@ -49,11 +50,32 @@ class DatasetTemplate:
         item = self.data_list[idx]
         return [os.path.join(self.root, p) for p in (item[:n] if n else item)]
 
+    # cache-directory name under <root>/../SuperPixelLabel/ — the reference
+    # uses per-dataset folder names (e.g. sceneflow_dataset.py:36)
+    _spx_dir: Optional[str] = None
+
+    def _add_super_pixels(self, sample: Dict, rel_path: str) -> Dict:
+        """RETURN_SUPER_PIXEL: attach the (cached) superpixel label map and
+        the occlusion placeholders NMRF's criterion consumes
+        (reference sceneflow_dataset.py:26-59)."""
+        if (self.data_info.get("RETURN_SUPER_PIXEL", False)
+                and self.mode == "training"):
+            sample.setdefault(
+                "occ_mask", np.zeros_like(sample["disp"], dtype=bool))
+            name = self._spx_dir or type(self).__name__.removesuffix("Dataset")
+            sample["super_pixel_label"] = cached_superpixels(
+                sample["left"], self.root, rel_path, name)
+        return sample
+
     def _finish(self, sample: Dict, idx: int, name: str,
                 rng: Optional[np.random.Generator] = None) -> Dict:
         sample["_rng"] = rng
         sample = self.transform(sample)
         sample.pop("_rng", None)
+        if "disp" in sample:
+            # post-transform validity (reference adds it across loaders,
+            # e.g. sceneflow_dataset.py:71)
+            sample["valid"] = sample["disp"] < 512
         sample["index"] = idx
         sample["name"] = name
         return sample
@@ -76,6 +98,7 @@ class SceneFlowDataset(DatasetTemplate):
         assert not np.isnan(sample["disp"]).any(), f"NaN disparity in {disp_p}"
         if self.data_info.get("RETURN_RIGHT_DISP", False):
             sample["disp_right"] = readers.read_disp_pfm(disp_p.replace("left", "right"))
+        self._add_super_pixels(sample, self.data_list[idx][0])
         return self._finish(sample, idx, left_p, rng)
 
 
@@ -327,4 +350,140 @@ class TartanAirDataset(DatasetTemplate):
             "right": readers.read_image_rgb(right_p),
             "disp": disp,
         }
+        return self._finish(sample, idx, left_p, rng)
+
+
+@DATASETS.register
+class CarlaDataset(DatasetTemplate):
+    """CARLA depth PNGs (cm) → disparity with the simulated rig's
+    baseline read from the path (reference: carla_dataset.py:18-77)."""
+
+    _BASELINES = {"baseline_010": 10.0, "baseline_054": 54.0,
+                  "baseline_100": 100.0, "baseline_200": 200.0,
+                  "baseline_300": 300.0}
+
+    def load(self, idx, rng=None):
+        left_p, right_p, depth_p = self._paths(idx, 3)
+        baseline = next((b for k, b in self._BASELINES.items()
+                         if k in right_p), 54.0)
+        depth = np.array(Image.open(depth_p), np.float32)  # cm
+        disp = baseline * 1385.64 / (depth + 1e-6)
+        sample = {
+            "left": readers.read_image_rgb(left_p),
+            "right": readers.read_image_rgb(right_p),
+            "disp": disp.astype(np.float32),
+        }
+        self._add_super_pixels(sample, self.data_list[idx][0])
+        return self._finish(sample, idx, left_p, rng)
+
+
+@DATASETS.register
+class DynamicReplicaDataset(DatasetTemplate):
+    """PNG disparity / 100 (reference: dynamic_replica.py:11-71)."""
+
+    _spx_dir = "DynamicReplica"
+
+    def load(self, idx, rng=None):
+        left_p, right_p, disp_p = self._paths(idx, 3)
+        sample = {
+            "left": readers.read_image_rgb(left_p),
+            "right": readers.read_image_rgb(right_p),
+            "disp": np.array(Image.open(disp_p), np.float32) / 100.0,
+        }
+        self._add_super_pixels(sample, self.data_list[idx][0])
+        return self._finish(sample, idx, left_p, rng)
+
+
+@DATASETS.register
+class RealfillDataset(DatasetTemplate):
+    """npy disparity (reference: realfill_dataset.py:14-51)."""
+
+    def load(self, idx, rng=None):
+        left_p, right_p, disp_p = self._paths(idx, 3)
+        sample = {
+            "left": readers.read_image_rgb(left_p),
+            "right": readers.read_image_rgb(right_p),
+            "disp": np.load(disp_p).astype(np.float32),
+        }
+        self._add_super_pixels(sample, self.data_list[idx][0])
+        return self._finish(sample, idx, left_p, rng)
+
+
+@DATASETS.register
+class FoundationStereoDataset(DatasetTemplate):
+    """NVIDIA FoundationStereo synthetic dump: folder-scanned (no split
+    file), uint8-triple-encoded disparity PNGs
+    (reference: foundationstereo.py:13-95)."""
+
+    _spx_dir = "FoundationStereoDataset"
+
+    def __init__(self, data_info, data_cfg, mode):
+        super().__init__(data_info, data_cfg, mode)
+        if not self.data_list and mode.upper() in data_info.DATA_SPLIT:
+            import glob
+
+            lefts = sorted(glob.glob(os.path.join(
+                self.root, "*/dataset/data/left/rgb/*.jpg")))
+            self.data_list = [[p] for p in lefts]
+
+    @staticmethod
+    def _decode_disp(png: np.ndarray, scale: float = 1000.0) -> np.ndarray:
+        d = png.astype(np.float64)
+        # (sic) the reference multiplies by 255, not 256
+        # (foundationstereo.py:13-16)
+        return ((d[..., 0] * 255 * 255 + d[..., 1] * 255 + d[..., 2])
+                / scale).astype(np.float32)
+
+    def load(self, idx, rng=None):
+        left_p = self.data_list[idx][0]
+        if not os.path.isabs(left_p):
+            left_p = os.path.join(self.root, left_p)
+        right_p = left_p.replace("left", "right")
+        disp_p = left_p.replace("rgb", "disparity").replace(".jpg", ".png")
+        sample = {
+            "left": readers.read_image_rgb(left_p),
+            "right": readers.read_image_rgb(right_p),
+            "disp": self._decode_disp(np.array(Image.open(disp_p))),
+        }
+        rel = os.path.relpath(left_p, self.root)
+        self._add_super_pixels(sample, rel)
+        return self._finish(sample, idx, left_p, rng)
+
+
+@DATASETS.register
+class MonoDataset(DatasetTemplate):
+    """Mono image + relative depth → synthesised stereo pair via the
+    forward-splat warp (reference: mono_dataset.py:14-57 + mono.py;
+    re-derived in data/mono_warp.py). Split lines: <image> <depth_png>."""
+
+    def load(self, idx, rng=None):
+        from . import mono_warp
+
+        rng = rng or np.random.default_rng(idx)
+        left_p, depth_p = self._paths(idx, 2)
+        left = readers.read_image_rgb(left_p)
+        bg_idx = int(rng.integers(0, len(self.data_list)))
+        bg = readers.read_image_rgb(self._paths(bg_idx, 1)[0])
+        import cv2
+
+        disp_raw = cv2.imread(depth_p, cv2.IMREAD_UNCHANGED)
+        disp_raw = np.asarray(disp_raw, np.float32) / 100.0
+
+        left, bg, disp_raw = mono_warp.prepare_sizes(left, bg, disp_raw, rng)
+        bg = mono_warp.transfer_color(bg, left)
+        disp = mono_warp.process_disparity(disp_raw, rng,
+                                           max_disparity_range=(50, 192))
+        right = mono_warp.project_image(left, disp, bg)
+        sample = {
+            "left": left.astype(np.float32),
+            "right": right.astype(np.float32),
+            "disp": disp.astype(np.float32),
+        }
+        if (self.data_info.get("RETURN_SUPER_PIXEL", False)
+                and self.mode == "training"):
+            # synthesised views are never cached (random warp each epoch)
+            from .superpixels import slic_superpixels
+
+            sample["occ_mask"] = np.zeros_like(disp, dtype=bool)
+            sample["super_pixel_label"] = slic_superpixels(left)
         return self._finish(sample, idx, left_p, rng)

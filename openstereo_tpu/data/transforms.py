@@ -67,6 +67,8 @@ class ToTensor:
 
     def __call__(self, sample):
         for k, v in sample.items():
+            if k == "super_pixel_label":
+                continue  # integer segment ids (NMRF mode extraction)
             if isinstance(v, np.ndarray) and v.dtype != np.float32:
                 sample[k] = v.astype(np.float32)
         return sample
@@ -209,6 +211,11 @@ class RandomErase:
                 dy = int(rng.integers(self.bounds[0], self.bounds[1]))
                 img2[y0 : y0 + dy, x0 : x0 + dx] = mean_color
         sample["right"] = img2
+        if "super_pixel_label" in sample:
+            # NMRF's criterion reads a right-view occlusion map; the
+            # reference initialises it (all-false) here
+            # (stereo_trans.py:190-208)
+            sample["occ_mask_2"] = np.zeros((h, w), dtype=bool)
         return sample
 
 

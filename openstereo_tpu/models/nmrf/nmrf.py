@@ -211,8 +211,9 @@ class NMRF(nn.Module):
         b, h, w = gt.shape
         valid_in = data.get("valid", gt < 512)
         gt = jnp.where(valid_in, gt, 0.0)
-        occ = data.get("occ_mask", jnp.zeros_like(gt, bool))
-        occ2 = data.get("occ_mask_2", jnp.zeros_like(gt, bool))
+        # pipelines may ship masks as f32 (ToTensor) — normalise to bool
+        occ = data.get("occ_mask", jnp.zeros_like(gt, bool)).astype(bool)
+        occ2 = data.get("occ_mask_2", jnp.zeros_like(gt, bool)).astype(bool)
         spx = data.get("super_pixel_label")
         if spx is None:
             # fallback superpixels: 10x10 grid cells (LSC region_size=10,

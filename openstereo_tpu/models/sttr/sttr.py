@@ -155,10 +155,10 @@ class STTR(nn.Module):
         else:
             scale = 1.0
 
-        # fused Pallas attention on TPU at inference (forward-only kernel);
-        # training and other backends use the differentiable einsum path
-        use_pallas = (not train
-                      and jax.default_backend() in ("tpu", "axon")
+        # fused Pallas attention on TPU — the analytic custom VJP
+        # (ops/pallas/rel_attention.rel_attention_trainable) serves both
+        # inference and training; other backends use the einsum path
+        use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and os.environ.get("OPENSTEREO_STTR_PALLAS", "1") == "1")
         attn_raw = Transformer(self.channel_dim, self.nheads, self.num_attn_layers,
                                use_pallas=use_pallas,

@@ -58,10 +58,11 @@ class MultiheadAttentionRelative(nn.Module):
     (reference attention.py:10-139). Inputs [B, W, C].
 
     Two equivalent compute paths:
-    - use_pallas=True (inference on TPU): the fused Pallas kernel
+    - use_pallas=True (TPU): the fused Pallas kernel
       (ops/pallas/rel_attention.py) — MXU contractions + hardware-shear
       relative alignment + softmax + p·v in one pass over each epipolar
-      line. Forward-only (no custom VJP yet).
+      line. Differentiable via the analytic custom VJP
+      (rel_attention_trainable), so it serves training too.
     - otherwise: the reference einsum decomposition against the gathered
       [W, W, C] relative matrix (differentiable, any backend).
     """
@@ -97,13 +98,13 @@ class MultiheadAttentionRelative(nn.Module):
             assert attn_mask is None, (
                 "Pallas rel_attention does not support an explicit "
                 "attn_mask; pass use_pallas=False or use masked_last")
-            from ...ops.pallas.rel_attention import rel_attention
+            from ...ops.pallas.rel_attention import rel_attention_trainable
 
             ke = k_proj(pos_table)
             qe = q_proj(pos_table) * scaling
-            out, raw_attn = rel_attention(q * scaling, k, v, ke, qe, nh,
-                                          masked=masked_last,
-                                          need_raw=need_raw)
+            out, raw_attn = rel_attention_trainable(q * scaling, k, v, ke,
+                                                    qe, nh, masked_last,
+                                                    need_raw)
             out = nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
             return out, raw_attn
 

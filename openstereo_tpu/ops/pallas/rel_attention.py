@@ -16,8 +16,9 @@ Measured at 544×960 (W'=320, 182 lines, 8 heads, bf16): 6.0 ms per
 attention call vs ~12.3 ms effective under XLA; whole-model STTR
 231 ms → 169 ms in the same session (see docs/BENCHMARKS.md).
 
-Forward-only (no custom VJP): training keeps the einsum formulation —
-use_pallas is gated on `not train` in the Transformer.
+Training runs through `rel_attention_trainable` — the same fused forward
+with an analytic custom VJP (below); the einsum formulation remains the
+reference/other-backend path.
 """
 
 from __future__ import annotations
@@ -142,6 +143,113 @@ def rel_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, w, e), v.dtype),
     )(q, k, v, ke_p, qe_p)
     return out, None
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: fused Pallas forward + analytic jnp backward
+# ---------------------------------------------------------------------------
+#
+# The backward recomputes attention per head (nothing is stashed beyond the
+# five inputs — remat-friendly) and realigns the Toeplitz cotangents with
+# gathers instead of materialising the [W, W, E] relative matrix:
+#   forward adds S(q·keᵀ) and S(k·qe_revᵀ)ᵀ where S(X)[i,j] = X[i, w-1-i+j];
+#   the cotangent of S is the inverse shear, dX[i,r] = dA[i, r-(w-1)+i].
+# Per head that is four [W,W]x[W,hd] MXU matmuls plus two [W,2W-1] gathers —
+# the same arithmetic the einsum path's backward does, but fed by the fused
+# forward. Gradient parity vs the einsum path is asserted in
+# tests/test_rel_attention.py.
+
+def _unskew(da: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[B, W, W] cotangent of the shear → [B, W, 2W-1]: dX[i, r] =
+    da[i, r-(w-1)+i] (zero where the source column is out of range)."""
+    r = jnp.arange(2 * w - 1)[None, :]
+    i = jnp.arange(w)[:, None]
+    j = r - (w - 1) + i
+    valid = (j >= 0) & (j < w)
+    jc = jnp.clip(j, 0, w - 1)
+    g = jnp.take_along_axis(
+        da, jnp.broadcast_to(jc[None], (da.shape[0], w, 2 * w - 1)), axis=-1)
+    return g * valid[None].astype(da.dtype)
+
+
+def _rel_attn_fwd(q, k, v, ke, qe, nheads, masked, need_raw, interpret):
+    out, raw = rel_attention(q, k, v, ke, qe, nheads, masked=masked,
+                             need_raw=need_raw, interpret=interpret)
+    return (out, raw), (q, k, v, ke, qe)
+
+
+def _rel_attn_bwd(nheads, masked, need_raw, interpret, res, cts):
+    q, k, v, ke, qe = res
+    d_out, d_raw = cts
+    b, w, e = q.shape
+    hd = e // nheads
+    f32 = jnp.float32
+
+    i_idx = jnp.arange(w)[:, None]
+    j_idx = jnp.arange(w)[None, :]
+    mask_cond = (j_idx > i_idx) if masked else None
+    idx = (w - 1 - i_idx + j_idx)            # [W, W] into the 2W-1 tables
+
+    dq = jnp.zeros((b, w, e), f32)
+    dk = jnp.zeros((b, w, e), f32)
+    dv = jnp.zeros((b, w, e), f32)
+    dke = jnp.zeros((2 * w - 1, e), f32)
+    dqe = jnp.zeros((2 * w - 1, e), f32)
+
+    for h in range(nheads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[..., sl].astype(f32)
+        kh = k[..., sl].astype(f32)
+        vh = v[..., sl].astype(f32)
+        keh = ke[: 2 * w - 1, sl].astype(f32)
+        qeh = qe[: 2 * w - 1, sl].astype(f32)
+        doh = d_out[..., sl].astype(f32)
+
+        # recompute this head's attention
+        attn = jnp.einsum("bwc,bvc->bwv", qh, kh)
+        attn += jnp.einsum("bwc,wvc->bwv", qh, keh[idx])
+        attn += jnp.einsum("bvc,wvc->bwv", kh, qeh[idx])
+        if masked:
+            attn = jnp.where(mask_cond[None], -1e30, attn)
+        p = jax.nn.softmax(attn, axis=-1)
+
+        dv = dv.at[..., sl].add(jnp.einsum("bwv,bwc->bvc", p, doh))
+        dp = jnp.einsum("bwc,bvc->bwv", doh, vh)
+        da = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if d_raw is not None and need_raw:
+            dr = d_raw.astype(f32)
+            if masked:
+                dr = jnp.where(mask_cond[None], 0.0, dr)
+            da = da + dr
+
+        dq = dq.at[..., sl].add(jnp.einsum("bwv,bvc->bwc", da, kh))
+        dk = dk.at[..., sl].add(jnp.einsum("bwv,bwc->bvc", da, qh))
+        # Toeplitz terms
+        dXq = _unskew(da, w)                              # [B, W, 2W-1]
+        dq = dq.at[..., sl].add(jnp.einsum("bwr,rc->bwc", dXq, keh))
+        dke = dke.at[:, sl].add(jnp.einsum("bwr,bwc->rc", dXq, qh))
+        dXk = _unskew(jnp.swapaxes(da, 1, 2), w)          # cotangent of Sᵀ
+        dk = dk.at[..., sl].add(jnp.einsum("bwr,rc->bwc", dXk, qeh[::-1]))
+        dqe = dqe.at[:, sl].add(jnp.einsum("bwr,bwc->rc", dXk, kh)[::-1])
+
+    pad = ke.shape[0] - (2 * w - 1)
+    if pad > 0:
+        dke = jnp.concatenate([dke, jnp.zeros((pad, e), f32)], 0)
+        dqe = jnp.concatenate([dqe, jnp.zeros((pad, e), f32)], 0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dke.astype(ke.dtype), dqe.astype(qe.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def rel_attention_trainable(q, k, v, ke, qe, nheads, masked=False,
+                            need_raw=True, interpret=False):
+    """`rel_attention` with an analytic VJP — safe under jax.grad/remat.
+    Same contract; ke/qe may be unpadded [2W-1, E] tables."""
+    return rel_attention(q, k, v, ke, qe, nheads, masked=masked,
+                         need_raw=need_raw, interpret=interpret)
+
+
+rel_attention_trainable.defvjp(_rel_attn_fwd, _rel_attn_bwd)
 
 
 def rel_attention_reference(q, k, v, ke, qe, nheads, masked=False):

@@ -42,6 +42,7 @@ QUICK_MODULES = {
     "test_layer_parity",
     "test_data_pipeline",
     "test_make_splits",
+    "test_configs",
     "test_native",
     "test_nmrf_ops",
     "test_quick_forward",

@@ -175,3 +175,49 @@ def test_divisible_pad_records_pad():
     np.testing.assert_array_equal(out["pad"], [14, 26, 0, 0])
     # disp zero-padded at top
     assert out["disp"][:14].sum() == 0
+
+
+def test_return_super_pixel_fields(synth_root):
+    """RETURN_SUPER_PIXEL attaches cached SLIC labels + occ placeholder and
+    the loader ships them through transforms (NMRF's input contract,
+    reference sceneflow_dataset.py:26-59)."""
+    from openstereo_tpu.data.datasets import SceneFlowDataset
+
+    root, split = synth_root
+    cfg = _data_cfg(root, split)
+    cfg.DATA_INFOS[0]["RETURN_SUPER_PIXEL"] = True
+    ds = SceneFlowDataset(cfg.DATA_INFOS[0], cfg, "training")
+    s = ds.load(0, np.random.default_rng(0))
+    assert s["super_pixel_label"].shape == s["disp"].shape
+    assert s["super_pixel_label"].dtype == np.int32
+    # ToTensor float-casts masks (STTR consumes them as >0.5 floats)
+    assert (np.asarray(s["occ_mask"]) == 0).all()
+    assert s["valid"].shape == s["disp"].shape
+    # second load hits the on-disk cache and agrees
+    s2 = ds.load(0, np.random.default_rng(0))
+    np.testing.assert_array_equal(s["super_pixel_label"],
+                                  s2["super_pixel_label"])
+
+
+def test_mono_warp_synthesis():
+    """The mono→stereo splat produces a right view consistent with the
+    disparity: warping left by the GT disparity should approximate the
+    synthesised right view on visible pixels."""
+    from openstereo_tpu.data import mono_warp
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 128
+    base = rng.random((h, w, 3)).astype(np.float32)
+    # smooth image so interpolation error is small
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    left = (base * 255).astype(np.float32)
+    disp = np.full((h, w), 7.0, np.float32)  # constant shift: exact case
+    bg = np.zeros_like(left)
+    right = mono_warp.project_image(left, disp, bg)
+    # right[x] == left[x + 7]; target column 0 is excluded — the splat
+    # keeps only strictly-positive target positions (reference
+    # mono.py:117-118), so it falls to the background like the reference
+    np.testing.assert_allclose(right[:, 1 : w - 8], left[:, 8 : w - 1],
+                               atol=1.0)
+    assert (right[:, 0] == 0).all()

@@ -85,3 +85,24 @@ def test_stereobase_sharded_end_to_end():
     _eval_under_mesh(StereoBase(max_disp=32, use_concat_volume=True,
                                 concat_channels=8, train_iters=2,
                                 eval_iters=2), h=64, w=64)
+
+
+def test_monster_sharded_end_to_end():
+    """MonSter under a ('data','model') mesh: the frozen-DAv2 mono branch's
+    DP interaction plus the stereo branch's D-sharded volume — the
+    parallelism shape VERDICT flagged as untested. H,W /32-divisible with
+    H/16 integral (the 14/16 ViT resize)."""
+    from openstereo_tpu.models.monster import MonSter
+
+    _eval_under_mesh(MonSter(max_disp=32, encoder="vits", train_iters=1,
+                             valid_iters=1, mix_iters=1), h=64, w=96)
+
+
+def test_foundationstereo_sharded_end_to_end():
+    """FoundationStereo under the DPxTP mesh: AHCF volume D-sharding with
+    its (kd,1,1) disparity-conv halo exchanges + frozen-ViT features."""
+    from openstereo_tpu.models.foundationstereo import FoundationStereo
+
+    _eval_under_mesh(FoundationStereo(max_disp=32, vit_size="vits",
+                                      train_iters=1, valid_iters=1),
+                     h=64, w=96)

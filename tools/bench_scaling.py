@@ -105,6 +105,12 @@ def main():
             "right": rng.rand(gb, h, w, 3).astype(np.float32),
             "disp": (rng.rand(gb, h, w) * 60 + 1).astype(np.float32),
         }
+        if cfg.MODEL.NAME == "STTR":
+            # STTR's loss needs occlusion GT: exact left-border occlusion
+            # from the synthetic disparities (see tools/overfit_check.py)
+            xs = np.arange(w, dtype=np.float32)[None, None, :]
+            batch_np["occ_mask"] = (xs - batch_np["disp"] < 0).astype(np.float32)
+            batch_np["occ_mask_right"] = (xs + batch_np["disp"] >= w).astype(np.float32)
         with jax.set_mesh(mesh):
             batch = shard_batch(batch_np, mesh)
             variables = jax.jit(

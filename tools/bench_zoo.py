@@ -11,8 +11,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# model → (constructor kwargs, (H, W)); shapes follow each model's reference
-# eval padding (544x960 SceneFlow default; 576x960 where /64 or /12 is needed)
+# model → (constructor kwargs, (H, W)); shapes follow each model's OWN
+# reference eval padding: 544x960 (measure.py:33 and most SceneFlow cfgs,
+# incl. CFNet's cfnet_sceneflow_part1_uniform.yaml:19), but FADNet and
+# AANet pad to 576x960 in their reference cfgs (fadnet_sceneflow.yaml:18,
+# aanet_sceneflow.yaml:19 — FADNet's 1/64 pyramid and AANet's stride-3
+# stem cannot produce aligned skip shapes at 544)
 ZOO = {
     "LightStereo-S": ("LightStereo", {"aggregation_blocks": (1, 2, 4), "expanse_ratio": 4}, (544, 960)),
     "LightStereo-M": ("LightStereo", {"aggregation_blocks": (4, 8, 16), "expanse_ratio": 4}, (544, 960)),
@@ -24,7 +28,7 @@ ZOO = {
     "CoExNet": ("CoExNet", {}, (544, 960)),
     "MSNet2D": ("MSNet2D", {}, (544, 960)),
     "MSNet3D": ("MSNet3D", {}, (544, 960)),
-    "CFNet": ("CFNet", {}, (576, 960)),
+    "CFNet": ("CFNet", {}, (544, 960)),
     "FADNet": ("FADNet", {}, (576, 960)),
     "CasPSMNet": ("CasPSMNet", {}, (544, 960)),
     "CasGwcNet": ("CasGwcNet", {}, (544, 960)),
