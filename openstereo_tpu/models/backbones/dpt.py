@@ -98,8 +98,11 @@ class DPTHead(nn.Module):
                                      padding="VALID", dtype=self.dtype,
                                      name="resize1")(x)
             elif i == 3:
+                # torch Conv2d(k=3, s=2, padding=1) pads symmetrically;
+                # XLA "SAME" at stride 2 does not — make it explicit
                 x = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
-                            padding="SAME", dtype=self.dtype, name="resize3")(x)
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            name="resize3")(x)
             x = nn.Conv(f, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name=f"layer{i + 1}_rn")(x)
             levels.append(x)
@@ -115,6 +118,10 @@ class DPTHead(nn.Module):
 
         feat = nn.Conv(f // 2, (3, 3), padding="SAME", dtype=self.dtype,
                        name="output_conv1")(p1)
+        # the reference returns `out` AFTER the align-corners upsample to the
+        # full ViT-input resolution (dpt.py:135-141); FoundationStereo's
+        # extractor then resizes that to (H/4, W/4) — two chained resizes,
+        # so returning the pre-upsample map is not numerically equivalent.
         up = resize_linear_align_corners(
             feat, (patch_h * 14, patch_w * 14), axes=(1, 2))
         d = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype,
@@ -122,7 +129,7 @@ class DPTHead(nn.Module):
         d = nn.relu(d)
         d = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2b")(d)
         depth = nn.relu(d[..., 0])
-        return feat, depth
+        return up, depth
 
 
 class DPTPyramidDecoder(nn.Module):
@@ -155,8 +162,11 @@ class DPTPyramidDecoder(nn.Module):
                                      padding="VALID", dtype=self.dtype,
                                      name="resize1")(x)
             elif i == 3:
+                # torch Conv2d(k=3, s=2, padding=1) pads symmetrically;
+                # XLA "SAME" at stride 2 does not — make it explicit
                 x = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
-                            padding="SAME", dtype=self.dtype, name="resize3")(x)
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            name="resize3")(x)
             x = nn.Conv(f, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name=f"layer{i + 1}_rn")(x)
             levels.append(x)

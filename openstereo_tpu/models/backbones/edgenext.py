@@ -72,8 +72,9 @@ class XCA(nn.Module):
         q = jnp.swapaxes(q[:, :, 0], 1, 2)  # [B, nh, N, hd] -> attn over hd
         k = jnp.swapaxes(k[:, :, 0], 1, 2)
         v = jnp.swapaxes(v[:, :, 0], 1, 2)
-        qn = q / (jnp.linalg.norm(q, axis=2, keepdims=True) + 1e-6)
-        kn = k / (jnp.linalg.norm(k, axis=2, keepdims=True) + 1e-6)
+        # torch F.normalize semantics: v / max(||v||, eps), eps=1e-12
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=2, keepdims=True), 1e-12)
+        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=2, keepdims=True), 1e-12)
         attn = jnp.einsum("bhnc,bhnd->bhcd", qn, kn) * temp.astype(q.dtype)
         p = nn.softmax(attn.astype(jnp.promote_types(jnp.float32, self.dtype)),
                        axis=-1).astype(v.dtype)
@@ -113,34 +114,48 @@ class SDTAEncoder(nn.Module):
 
         tok = y.reshape(b, h * w, c)
         if self.use_pos_emb:
-            tok = tok + _fourier_pos_emb(h, w, c).astype(tok.dtype)
+            # timm PositionalEncodingFourier: DETR-style sine table with a
+            # LEARNED 1x1 projection (token_projection) — params, not a
+            # constant table.
+            table = _fourier_pos_table(h, w).astype(tok.dtype)
+            tok = tok + nn.Dense(c, dtype=self.dtype, name="pos_proj")(table)
         ls1 = self.param("gamma_xca", nn.initializers.constant(1e-6), (c,))
         tok = tok + ls1.astype(tok.dtype) * XCA(
             c, self.num_heads, dtype=self.dtype, name="xca")(
             _layer_norm(self.dtype, "norm_xca")(tok))
 
+        # timm SplitTransposeBlock residual structure: the block output is
+        # shortcut + gamma * mlp(norm(tok)) — the post-attention tokens feed
+        # the MLP only; they are NOT themselves summed into the output.
         ls2 = self.param("gamma", nn.initializers.constant(1e-6), (c,))
         z = _layer_norm(self.dtype, "norm")(tok)
         z = nn.Dense(c * self.expan_ratio, dtype=self.dtype, name="pw1")(z)
         z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, dtype=self.dtype, name="pw2")(z)
-        tok = tok + ls2.astype(z.dtype) * z
-        return x + tok.reshape(b, h, w, c)
+        return x + (ls2.astype(z.dtype) * z).reshape(b, h, w, c)
 
 
-def _fourier_pos_emb(h: int, w: int, dim: int, temperature: float = 10000.0):
-    """Sine-cosine 2D positional table [h*w, dim] (trace-time constant)."""
-    half = dim // 2
-    quarter = half // 2
-    omega = 1.0 / temperature ** (np.arange(quarter) / max(quarter - 1, 1))
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    py = ys.reshape(-1, 1) * omega
-    px = xs.reshape(-1, 1) * omega
-    emb = np.concatenate(
-        [np.sin(py), np.cos(py), np.sin(px), np.cos(px)], axis=1)
-    if emb.shape[1] < dim:
-        emb = np.pad(emb, ((0, 0), (0, dim - emb.shape[1])))
-    return jnp.asarray(emb[:, :dim], jnp.float32)
+def _fourier_pos_table(h: int, w: int, hidden_dim: int = 32,
+                       temperature: float = 10000.0):
+    """timm PositionalEncodingFourier's pre-projection table [h*w, 2*hidden]
+    (trace-time constant; DETR-style normalised cumsum coordinates, pairs of
+    (sin, cos) sharing each frequency, y-block then x-block)."""
+    eps = 1e-6
+    scale = 2 * np.pi
+    y = (np.arange(1, h + 1, dtype=np.float64) / (h + eps) * scale)
+    x = (np.arange(1, w + 1, dtype=np.float64) / (w + eps) * scale)
+    dim_t = temperature ** (2 * (np.arange(hidden_dim) // 2) / hidden_dim)
+
+    def enc(v):  # [N] -> [N, hidden]
+        p = v[:, None] / dim_t[None, :]
+        out = np.empty_like(p)
+        out[:, 0::2] = np.sin(p[:, 0::2])
+        out[:, 1::2] = np.cos(p[:, 1::2])
+        return out
+
+    py = np.repeat(enc(y), w, axis=0)           # [h*w, hidden]
+    px = np.tile(enc(x), (h, 1))                # [h*w, hidden]
+    return jnp.asarray(np.concatenate([py, px], axis=1), jnp.float32)
 
 
 class EdgeNeXtFeatures(nn.Module):

@@ -185,14 +185,14 @@ class FastFoundationStereo(nn.Module):
         iters = self.train_iters if train else self.valid_iters
         loop = nn.scan(
             _FSGRUIteration, variable_broadcast="params",
-            split_rngs={"params": False}, length=iters,
+            split_rngs={"params": False}, in_axes=nn.broadcast, length=iters,
         )(hidden_dim=self.hidden_dim, n_gru_layers=self.n_gru_layers,
           radius=self.corr_radius, num_levels=self.corr_levels,
           dtype=self.dtype, name="gru_loop")
-        carry = (tuple(net_list), init_disp[..., None],
-                 tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
-                 tuple(inp_list), tuple(att), coords)
-        carry, (disp_seq, mask_seq) = loop(carry, None)
+        carry = (tuple(net_list), init_disp[..., None])
+        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+                  tuple(inp_list), tuple(att), coords)
+        carry, (disp_seq, mask_seq) = loop(carry, consts)
 
         if train:
             n_it = disp_seq.shape[0]

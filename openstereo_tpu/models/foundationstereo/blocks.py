@@ -59,10 +59,32 @@ class ResnetBasicBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = ConvBlock(self.features, 3, norm="batch", act=nn.relu, use_bias=True,
+        y = ConvBlock(self.features, 3, norm="batch", act=nn.relu,
                       ndim=3, dtype=self.dtype, name="conv1")(x, train=train)
-        y = ConvBlock(self.features, 3, norm="batch", use_bias=True, ndim=3,
+        y = ConvBlock(self.features, 3, norm="batch", ndim=3,
                       dtype=self.dtype, name="conv2")(y, train=train)
+        return nn.relu(x + y)
+
+
+class Conv2xFS(nn.Module):
+    """FoundationStereo's Conv2x_IN (submodule.py:383-418): deconv up-stage,
+    concat with skip, then a RESIDUAL InstanceNorm fuse block
+    (ResnetBasicBlock, submodule.py:117-155) — unlike IGEV's plain-conv
+    fuse. Norms are non-affine; fuse convs are bias-free."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rem, *, train: bool = False):
+        x = BasicConvIN(self.features, 4, 2, deconv=True, dtype=self.dtype,
+                        name="conv1")(x, train=train)
+        x = jnp.concatenate([x, rem], axis=-1)
+        f2 = self.features * 2
+        y = ConvBlock(f2, 3, norm="instance", act=nn.relu, dtype=self.dtype,
+                      name="fuse1")(x, train=train)
+        y = ConvBlock(f2, 3, norm="instance", dtype=self.dtype,
+                      name="fuse2")(y, train=train)
         return nn.relu(x + y)
 
 
@@ -75,10 +97,13 @@ class ResnetBasicBlockIN(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # RAFT-style block: relu after BOTH norms, then relu(x + y)
+        # (extractor.py:66-79 — unlike submodule.py's ResnetBasicBlock,
+        # which has no activation after its second norm)
         y = ConvBlock(self.features, 3, norm="instance", act=nn.relu,
                       use_bias=True, dtype=self.dtype, name="conv1")(x, train=train)
-        y = ConvBlock(self.features, 3, norm="instance", use_bias=True,
-                      dtype=self.dtype, name="conv2")(y, train=train)
+        y = ConvBlock(self.features, 3, norm="instance", act=nn.relu,
+                      use_bias=True, dtype=self.dtype, name="conv2")(y, train=train)
         return nn.relu(x + y)
 
 
@@ -115,12 +140,14 @@ class DispTransformerLayer(nn.Module):
 
 def _sincos_table(max_len: int, dim: int) -> np.ndarray:
     """Classic sin/cos positional table [max_len, dim]
-    (reference submodule.py:506-537)."""
-    pos = np.arange(max_len)[:, None]
-    div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
+    (reference submodule.py:506-537). Computed in f32 end-to-end exactly
+    like the reference (torch builds the table in float32 and casts up)."""
+    pos = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float32)
+                 * np.float32(-(np.log(10000.0) / dim)))[None]
     out = np.zeros((max_len, dim), np.float32)
     out[:, 0::2] = np.sin(pos * div)
-    out[:, 1::2] = np.cos(pos * div[: out[:, 1::2].shape[1]])
+    out[:, 1::2] = np.cos(pos * div[:, : out[:, 1::2].shape[1]])
     return out
 
 
@@ -162,10 +189,10 @@ class AHCFHourglass(nn.Module):
         red = lambda f, name: Conv3dNormActReduced(  # noqa: E731
             f, 3, 17, dtype=self.dtype, name=name)
         down = lambda f, name: ConvBlock(  # noqa: E731
-            f, 3, strides=2, norm="batch", act=nn.leaky_relu, use_bias=True,
+            f, 3, strides=2, norm="batch", act=nn.leaky_relu,
             ndim=3, dtype=self.dtype, name=name)
         up = lambda f, name: DeconvBlock(  # noqa: E731
-            f, 4, 2, norm="batch", act=nn.leaky_relu, use_bias=True, ndim=3,
+            f, 4, 2, norm="batch", act=nn.leaky_relu, ndim=3,
             dtype=self.dtype, name=name)
 
         conv1 = down(c * 2, "conv1a")(x, train=train)
@@ -185,7 +212,7 @@ class AHCFHourglass(nn.Module):
 
         y = up(c * 4, "conv3_up")(conv3, train=train)
         y = jnp.concatenate([y, conv2], axis=-1)
-        y = ConvBlock(c * 4, 1, norm="batch", act=nn.leaky_relu, use_bias=True,
+        y = ConvBlock(c * 4, 1, norm="batch", act=nn.leaky_relu,
                       ndim=3, dtype=self.dtype, name="agg0a")(y, train=train)
         y = red(c * 4, "agg0b")(y, train=train)
         y = red(c * 4, "agg0c")(y, train=train)
@@ -194,7 +221,7 @@ class AHCFHourglass(nn.Module):
 
         y = up(c * 2, "conv2_up")(y, train=train)
         y = jnp.concatenate([y, conv1], axis=-1)
-        y = ConvBlock(c * 2, 1, norm="batch", act=nn.leaky_relu, use_bias=True,
+        y = ConvBlock(c * 2, 1, norm="batch", act=nn.leaky_relu,
                       ndim=3, dtype=self.dtype, name="agg1a")(y, train=train)
         y = red(c * 2, "agg1b")(y, train=train)
         y = red(c * 2, "agg1c")(y, train=train)
@@ -411,7 +438,7 @@ class ContextNetDino(nn.Module):
                                      dtype=self.dtype,
                                      name=f"layer{i + 1}_{j}")(x, train=train)
         x = jnp.concatenate([x, vit_feat], axis=-1)
-        x = ConvBlock(128, 3, norm="batch", act=nn.leaky_relu, use_bias=True,
+        x = ConvBlock(128, 3, norm="batch", act=nn.leaky_relu,
                       dtype=self.dtype, name="conv2")(x, train=train)
 
         outs04, outs08, outs16 = [], [], []

@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import context_upsample, disparity_regression, resize_linear_align_corners
+from ...ops import (context_upsample, disparity_regression,
+                    resize_bicubic_torch, resize_linear_align_corners)
 from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
 from ..backbones.dpt import DAV2_CONFIGS, DepthAnythingV2
@@ -47,7 +48,7 @@ from ..igev.geometry import CombinedGeoEncodingVolume, lookup_1d
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from .blocks import (AHCFHourglass, BasicSelectiveMultiUpdateBlock,
-                     ChannelAttentionEnhancement, ContextNetDino,
+                     ChannelAttentionEnhancement, ContextNetDino, Conv2xFS,
                      ResnetBasicBlock3D, ResnetBasicBlockIN,
                      SpatialAttentionExtractor)
 
@@ -89,9 +90,13 @@ def resize_keep_aspect(h: int, w: int, divider: int = 112,
                        max_side: int = 1344):
     """Trace-time ViT input size (reference Utils.get_resize_keep_aspect_ratio:
     scale so max side ≤ max_side, round up to the 14·16 lcm)."""
-    scale = min(1.0, max_side / max(h, w))
-    hr = int(math.ceil(h * scale / divider) * divider)
-    wr = int(math.ceil(w * scale / divider) * divider)
+    rnd = lambda x: int(math.ceil(x / divider) * divider)  # noqa: E731
+    hr, wr = rnd(h), rnd(w)
+    if hr > max_side or wr > max_side:
+        if hr > wr:
+            wr, hr = rnd(wr * max_side / hr), max_side
+        else:
+            hr, wr = rnd(hr * max_side / wr), max_side
     return hr, wr
 
 
@@ -109,7 +114,7 @@ class FSFeature(nn.Module):
         vit_dim = DAV2_CONFIGS[self.vit_size][0] // 2
 
         hr, wr = resize_keep_aspect(h, w)
-        x_vit = jax.image.resize(x, (b, hr, wr, 3), method="bicubic")
+        x_vit = resize_bicubic_torch(x, (hr, wr), axes=(1, 2))
         vit_feat, _depth = DepthAnythingV2(self.vit_size, dtype=self.dtype,
                                            name="dino")(x_vit)
         if self.freeze_vit:
@@ -119,12 +124,12 @@ class FSFeature(nn.Module):
 
         c4, c8, c16, c32 = EdgeNeXtFeatures(dtype=self.dtype, name="trunk")(
             x, train=train)
-        y16 = Conv2x(160, deconv=True, norm="instance", dtype=self.dtype,
-                     name="deconv32_16")(c32, c16, train=train)     # 320c
-        y8 = Conv2x(96, deconv=True, norm="instance", dtype=self.dtype,
-                    name="deconv16_8")(y16, c8, train=train)        # 192c
-        y4 = Conv2x(48, deconv=True, norm="instance", dtype=self.dtype,
-                    name="deconv8_4")(y8, c4, train=train)          # 96c
+        y16 = Conv2xFS(160, dtype=self.dtype,
+                       name="deconv32_16")(c32, c16, train=train)   # 320c
+        y8 = Conv2xFS(96, dtype=self.dtype,
+                      name="deconv16_8")(y16, c8, train=train)      # 192c
+        y4 = Conv2xFS(48, dtype=self.dtype,
+                      name="deconv8_4")(y8, c4, train=train)        # 96c
         y4 = jnp.concatenate([y4, vit_feat], axis=-1)               # 96+vit_dim
         y4 = BasicConvIN(96 + vit_dim, 3, dtype=self.dtype,
                          name="conv4a")(y4, train=train)
@@ -145,8 +150,12 @@ class _FSGRUIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
-        net, disp, geo_pyr, corr_pyr, inp, att, coords = carry
+    def __call__(self, carry, consts):
+        # static lookups ride a broadcast input, not the carry — scan
+        # autodiff stacks per-step carries as backward residuals (iters×
+        # the volume memory); broadcast constants are saved once.
+        net, disp = carry
+        geo_pyr, corr_pyr, inp, att, coords = consts
         disp = jax.lax.stop_gradient(disp)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
@@ -162,8 +171,7 @@ class _FSGRUIteration(nn.Module):
             self.hidden_dim, self.n_gru_layers, dtype=self.dtype,
             name="update_block")(list(net), inp, geo_feat, disp, att)
         disp = disp + delta
-        return (tuple(net), disp, geo_pyr, corr_pyr, inp, att, coords), \
-            (disp[..., 0], mask_feat)
+        return (tuple(net), disp), (disp[..., 0], mask_feat)
 
 
 @MODELS.register
@@ -242,12 +250,14 @@ class FoundationStereo(nn.Module):
                               name="cnet")(left, vit_l, train=train)
         net_list = [jnp.tanh(o[0]) for o in cnet]
         inp_list = [nn.relu(o[1]) for o in cnet]
-        inp_list = [
-            ChannelAttentionEnhancement(self.hidden_dim, dtype=self.dtype,
-                                        name=f"cam{i}")(x) * x
-            for i, x in enumerate(inp_list)]
-        att = [SpatialAttentionExtractor(dtype=self.dtype, name=f"sam{i}")(x)
-               for i, x in enumerate(inp_list)]
+        # ONE cam / ONE sam shared across all pyramid levels
+        # (reference foundation_stereo.py:139-140 creates single modules and
+        # applies them to every level in the list comprehensions at :237-238)
+        cam = ChannelAttentionEnhancement(self.hidden_dim, dtype=self.dtype,
+                                          name="cam")
+        inp_list = [cam(x) * x for x in inp_list]
+        sam = SpatialAttentionExtractor(dtype=self.dtype, name="sam")
+        att = [sam(x) for x in inp_list]
 
         geo_fn = CombinedGeoEncodingVolume(
             _l2_normalize(feats_l[0].astype(head_dtype(self.dtype)), -1),
@@ -259,7 +269,9 @@ class FoundationStereo(nn.Module):
         coords = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (bb, h4, w4))
 
-        spx_2_gru = Conv2x(32, deconv=True, norm="batch", dtype=self.dtype,
+        # reference foundation_stereo.py:159: Conv2x(32, 32, True, bn=False)
+        # — NO norm in the superpixel branch (unlike IGEV's bn=True)
+        spx_2_gru = Conv2x(32, deconv=True, norm="none", dtype=self.dtype,
                            name="spx_2_gru")
         spx_gru = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
                                    dtype=self.dtype, name="spx_gru")
@@ -272,15 +284,15 @@ class FoundationStereo(nn.Module):
         iters = self.train_iters if train else self.valid_iters
         loop = nn.scan(
             _FSGRUIteration, variable_broadcast="params",
-            split_rngs={"params": False}, length=iters,
+            split_rngs={"params": False}, in_axes=nn.broadcast, length=iters,
         )(hidden_dim=self.hidden_dim, n_gru_layers=self.n_gru_layers,
           radius=self.corr_radius, num_levels=self.corr_levels,
           dtype=self.dtype, name="gru_loop")
 
-        carry = (tuple(net_list), init_disp[..., None],
-                 tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
-                 tuple(inp_list), tuple(att), coords)
-        carry, (disp_seq, mask_seq) = loop(carry, None)
+        carry = (tuple(net_list), init_disp[..., None])
+        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+                  tuple(inp_list), tuple(att), coords)
+        carry, (disp_seq, mask_seq) = loop(carry, consts)
 
         if train:
             n_it = disp_seq.shape[0]

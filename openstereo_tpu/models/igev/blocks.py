@@ -78,10 +78,15 @@ class Conv2x(nn.Module):
 
     @nn.compact
     def __call__(self, x, rem, *, train: bool = False):
-        Basic = BasicConvBN if self.norm == "batch" else BasicConvIN
+        if self.norm == "instance":
+            Basic = BasicConvIN
+            kw = {}
+        else:  # 'batch' or 'none' (reference Conv2x(bn=False))
+            Basic = BasicConvBN
+            kw = {"bn": self.norm == "batch"}
         k = 4 if self.deconv else 3
         x = Basic(self.features, k, 2, deconv=self.deconv, ndim=self.ndim,
-                  dtype=self.dtype, name="conv1")(x, train=train)
+                  dtype=self.dtype, name="conv1", **kw)(x, train=train)
         if x.shape[1:-1] != rem.shape[1:-1]:
             x = jax.image.resize(x, (*rem.shape[:-1], x.shape[-1]), method="nearest")
         if self.concat:
@@ -91,7 +96,7 @@ class Conv2x(nn.Module):
             x = x + rem
             out_f = self.features
         return Basic(out_f, 3, 1, ndim=self.ndim, dtype=self.dtype,
-                     name="conv2")(x, train=train)
+                     name="conv2", **kw)(x, train=train)
 
 
 class FeatureAtt(nn.Module):

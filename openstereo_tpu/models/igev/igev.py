@@ -96,8 +96,12 @@ class GeoHourglass(nn.Module):
 class _GRUIteration(nn.Module):
     """One slow-fast GRU iteration — the body of the scanned loop.
 
-    carry = (net_list, disp, geo_pyramid, corr_pyramid, inp_list, coords);
-    emits (disp [B,H/4,W/4], mask_feat_4) per iteration.
+    carry = (net_list, disp); the static lookup pyramids / context tensors
+    arrive as a BROADCAST input (in_axes=nn.broadcast), NOT in the carry:
+    scan's autodiff stacks every per-step carry as a backward residual, so
+    carrying the geo pyramid would store it iters× (a 22x ~5 GB blow-up at
+    the reference train crop — the broadcast form saves it once).
+    Emits (disp [B,H/4,W/4], mask_feat_4) per iteration.
     """
 
     hidden_dims: Sequence[int]
@@ -108,10 +112,11 @@ class _GRUIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
+    def __call__(self, carry, consts):
         from .geometry import lookup_1d
 
-        net_list, disp, geo_pyr, corr_pyr, inp_list, coords = carry
+        net_list, disp = carry
+        geo_pyr, corr_pyr, inp_list, coords = consts
         net_list = list(net_list)
         disp = jax.lax.stop_gradient(disp)
 
@@ -141,8 +146,7 @@ class _GRUIteration(nn.Module):
             net_list, inp_list, geo_feat, disp,
             iter16=self.n_gru_layers == 3, iter08=self.n_gru_layers >= 2)
         disp = disp + delta
-        new_carry = (tuple(net_list), disp, geo_pyr, corr_pyr, inp_list, coords)
-        return new_carry, (disp[..., 0], mask_feat_4)
+        return (tuple(net_list), disp), (disp[..., 0], mask_feat_4)
 
 
 @MODELS.register
@@ -162,6 +166,11 @@ class IGEV(nn.Module):
     corr_radius: int = 4
     train_iters: int = 22
     valid_iters: int = 32
+    # MODEL.REMAT: checkpoint the scanned GRU cell — backward recomputes
+    # each iteration instead of stashing its internals (the per-iteration
+    # lookup residuals alone are ~1 GB/iter at the reference 320x736 crop,
+    # overflowing the 16 GB chip at batch 4 x 22 iters)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -257,10 +266,13 @@ class IGEV(nn.Module):
         # scanned cell is traced once and parameters are broadcast across
         # iterations (the reference's Python loop shares modules the same way).
         iters = self.train_iters if train else self.valid_iters
+        cell = (nn.remat(_GRUIteration, prevent_cse=False)
+                if (self.remat and train) else _GRUIteration)
         ScannedLoop = nn.scan(
-            _GRUIteration,
+            cell,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,
             length=iters,
         )
         loop = ScannedLoop(
@@ -272,15 +284,10 @@ class IGEV(nn.Module):
             dtype=self.dtype,
             name="gru_loop",
         )
-        carry = (
-            tuple(net_list),
-            init_disp[..., None],
-            tuple(geo_fn.geo_pyramid),
-            tuple(geo_fn.corr_pyramid),
-            tuple(inp_list),
-            coords,
-        )
-        carry, (disp_seq, mask_seq) = loop(carry, None)
+        carry = (tuple(net_list), init_disp[..., None])
+        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+                  tuple(inp_list), coords)
+        carry, (disp_seq, mask_seq) = loop(carry, consts)
         final_disp = carry[1]
         final_mask_feat = mask_seq[-1]
 

@@ -79,7 +79,10 @@ class BasicUpdateBlock(nn.Module):
 class _RTIteration(nn.Module):
     """One GRU iteration — body of the scanned loop.
 
-    carry = (net, disp, geo_pyramid, context); emits (disp, mask_feat_4).
+    carry = (net, disp); static tensors ride a broadcast input
+    (in_axes=nn.broadcast) — scan autodiff stacks per-step carries as
+    backward residuals, so pyramids in the carry would be stored iters×.
+    Emits (disp, mask_feat_4).
     """
 
     hidden_dim: int
@@ -88,8 +91,9 @@ class _RTIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
-        net, disp, geo_pyr, context = carry
+    def __call__(self, carry, consts):
+        net, disp = carry
+        geo_pyr, context = consts
         disp = jax.lax.stop_gradient(disp)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
@@ -100,7 +104,7 @@ class _RTIteration(nn.Module):
             self.hidden_dim, dtype=self.dtype, name="update_block")(
                 net, context, geo_feat, disp)
         disp = disp + delta
-        return (net, disp, geo_pyr, context), (disp[..., 0], mask_feat_4)
+        return (net, disp), (disp[..., 0], mask_feat_4)
 
 
 @MODELS.register  # "IGEVRT" == reference MODEL.NAME
@@ -200,6 +204,7 @@ class IGEVRT(nn.Module):
             _RTIteration,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,
             length=iters,
         )
         loop = ScannedLoop(
@@ -209,8 +214,8 @@ class IGEVRT(nn.Module):
             dtype=self.dtype,
             name="gru_loop",
         )
-        carry = (net, init_disp[..., None], tuple(geo_pyr), context)
-        carry, (disp_seq, mask_seq) = loop(carry, None)
+        carry = (net, init_disp[..., None])
+        carry, (disp_seq, mask_seq) = loop(carry, (tuple(geo_pyr), context))
         final_disp = carry[1]
         final_mask_feat = mask_seq[-1]
 

@@ -183,9 +183,12 @@ class _PPIteration(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
-        (net_list, disp, geo0_pyr, geo1, geo2, corr_pyr, sel_w,
-         inp_list, coords) = carry
+    def __call__(self, carry, consts):
+        # static lookups ride a broadcast input, not the carry — scan
+        # autodiff stacks per-step carries as backward residuals (iters×
+        # the volume memory); broadcast constants are saved once.
+        net_list, disp = carry
+        (geo0_pyr, geo1, geo2, corr_pyr, sel_w, inp_list, coords) = consts
         net_list = list(net_list)
         disp = jax.lax.stop_gradient(disp)
 
@@ -208,9 +211,7 @@ class _PPIteration(nn.Module):
                 net_list, inp_list, geo0, gf1, gf2, init_corr, sel_w, disp,
                 iter16=self.n_gru_layers == 3, iter08=self.n_gru_layers >= 2)
         disp = disp + delta
-        new_carry = (tuple(net_list), disp, geo0_pyr, geo1, geo2, corr_pyr,
-                     sel_w, inp_list, coords)
-        return new_carry, (disp[..., 0], mask_feat_4)
+        return (tuple(net_list), disp), (disp[..., 0], mask_feat_4)
 
 
 @MODELS.register  # "IGEVPP" == reference MODEL.NAME
@@ -360,6 +361,7 @@ class IGEVPP(nn.Module):
             _PPIteration,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,
             length=iters,
         )
         loop = ScannedLoop(
@@ -370,10 +372,10 @@ class IGEVPP(nn.Module):
             dtype=self.dtype,
             name="gru_loop",
         )
-        carry = (tuple(net_list), agg_disp0[..., None], tuple(geo0_pyr),
-                 to_lookup(geo1), to_lookup(geo2), tuple(corr_pyr), sel_w,
-                 tuple(inp_list), coords)
-        carry, (disp_seq, mask_seq) = loop(carry, None)
+        carry = (tuple(net_list), agg_disp0[..., None])
+        consts = (tuple(geo0_pyr), to_lookup(geo1), to_lookup(geo2),
+                  tuple(corr_pyr), sel_w, tuple(inp_list), coords)
+        carry, (disp_seq, mask_seq) = loop(carry, consts)
         final_disp = carry[1]
         final_mask_feat = mask_seq[-1]
 

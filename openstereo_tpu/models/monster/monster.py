@@ -102,8 +102,11 @@ class _MonsterIterationA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
-        net, disp, geo_pyr, corr_pyr, inp, coords = carry
+    def __call__(self, carry, consts):
+        # static lookups ride a broadcast input, not the carry (scan
+        # autodiff would stack per-step carries iters× as residuals)
+        net, disp = carry
+        geo_pyr, corr_pyr, inp, coords = consts
         disp = jax.lax.stop_gradient(disp)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
@@ -120,8 +123,7 @@ class _MonsterIterationA(nn.Module):
             list(net), inp, geo_feat, disp,
             iter16=self.n_gru_layers == 3, iter08=self.n_gru_layers >= 2)
         disp = disp + delta
-        return (tuple(net), disp, geo_pyr, corr_pyr, inp, coords), \
-            (disp[..., 0], mask_feat)
+        return (tuple(net), disp), (disp[..., 0], mask_feat)
 
 
 class _MonsterIterationB(nn.Module):
@@ -135,9 +137,9 @@ class _MonsterIterationB(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
-        (net, net_m, disp, disp_m, geo_pyr, corr_pyr, inp, coords,
-         feat_l, feat_r) = carry
+    def __call__(self, carry, consts):
+        net, net_m, disp, disp_m = carry
+        geo_pyr, corr_pyr, inp, coords, feat_l, feat_r = consts
         disp = jax.lax.stop_gradient(disp)
         disp_m = jax.lax.stop_gradient(disp_m)
 
@@ -169,9 +171,8 @@ class _MonsterIterationB(nn.Module):
             list(net_m), inp, flaw_m, disp_m, geo_m, flaw_s, disp, geo_s)
         disp = disp + delta
         disp_m = disp_m + delta_m
-        new_carry = (tuple(net), tuple(net_m), disp, disp_m, geo_pyr,
-                     corr_pyr, inp, coords, feat_l, feat_r)
-        return new_carry, (disp[..., 0], mask_feat, disp_m[..., 0], mask_feat_m)
+        return (tuple(net), tuple(net_m), disp, disp_m), \
+            (disp[..., 0], mask_feat, disp_m[..., 0], mask_feat_m)
 
 
 @MODELS.register
@@ -280,12 +281,13 @@ class MonSter(nn.Module):
                       n_gru_layers=self.n_gru_layers, radius=self.corr_radius,
                       num_levels=self.corr_levels, dtype=self.dtype)
         loop_a = nn.scan(_MonsterIterationA, variable_broadcast="params",
-                         split_rngs={"params": False}, length=n_a)(
+                         split_rngs={"params": False}, in_axes=nn.broadcast,
+                         length=n_a)(
             **common, name="gru_loop")
-        carry_a = (tuple(net_list), init_disp[..., None],
-                   tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
-                   tuple(inp_list), coords)
-        carry_a, (disp_seq_a, mask_seq_a) = loop_a(carry_a, None)
+        consts_a = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+                    tuple(inp_list), coords)
+        carry_a = (tuple(net_list), init_disp[..., None])
+        carry_a, (disp_seq_a, mask_seq_a) = loop_a(carry_a, consts_a)
         net_list, disp = carry_a[0], carry_a[1]
 
         # scale/shift-align the mono disparity to the current stereo one
@@ -297,15 +299,16 @@ class MonSter(nn.Module):
                   + shift[:, None, None, None]).astype(disp.dtype)
 
         loop_b = nn.scan(_MonsterIterationB, variable_broadcast="params",
-                         split_rngs={"params": False}, length=n_b)(
+                         split_rngs={"params": False}, in_axes=nn.broadcast,
+                         length=n_b)(
             **common, name="gru_loop_mix")
-        carry_b = (net_list, tuple(net_list), disp, disp_m,
-                   tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
-                   tuple(inp_list), coords,
-                   feats_l[0].astype(head_dtype(self.dtype)),
-                   feats_r[0].astype(head_dtype(self.dtype)))
+        consts_b = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+                    tuple(inp_list), coords,
+                    feats_l[0].astype(head_dtype(self.dtype)),
+                    feats_r[0].astype(head_dtype(self.dtype)))
+        carry_b = (net_list, tuple(net_list), disp, disp_m)
         carry_b, (disp_seq_b, mask_seq_b, disp_seq_m, mask_seq_m) = \
-            loop_b(carry_b, None)
+            loop_b(carry_b, consts_b)
         final_disp, final_mask = carry_b[2], mask_seq_b[-1]
 
         remp = REMP(dtype=self.dtype, name="REMP")

@@ -246,6 +246,7 @@ class StereoBase(nn.Module):
             _GRUIteration,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=nn.broadcast,
             length=iters,
         )
         loop = ScannedLoop(
@@ -257,15 +258,10 @@ class StereoBase(nn.Module):
             dtype=self.dtype,
             name="gru_loop",
         )
-        carry = (
-            tuple(net_list),
-            init_disp[..., None],
-            tuple(geo_fn.geo_pyramid),
-            tuple(geo_fn.corr_pyramid),
-            tuple(inp_list),
-            coords,
-        )
-        carry, (disp_seq, mask_seq) = loop(carry, None)
+        carry = (tuple(net_list), init_disp[..., None])
+        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+                  tuple(inp_list), coords)
+        carry, (disp_seq, mask_seq) = loop(carry, consts)
         final_disp = carry[1]
         final_mask_feat = mask_seq[-1]
 

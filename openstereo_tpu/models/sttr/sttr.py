@@ -155,11 +155,17 @@ class STTR(nn.Module):
         else:
             scale = 1.0
 
-        # fused Pallas attention on TPU — the analytic custom VJP
-        # (ops/pallas/rel_attention.rel_attention_trainable) serves both
-        # inference and training; other backends use the einsum path
+        # fused Pallas attention on TPU. The analytic custom VJP
+        # (ops/pallas/rel_attention.rel_attention_trainable) is
+        # gradient-parity-tested, but on the remote-attached chip the fused
+        # TRAIN step faults the TPU worker (eval is stable, and at the
+        # reference 360×640 train crop the fused path showed no step-time
+        # win anyway — docs/BENCHMARKS.md). Training therefore defaults to
+        # the einsum path; OPENSTEREO_STTR_PALLAS_TRAIN=1 opts back in.
         use_pallas = (jax.default_backend() in ("tpu", "axon")
-                      and os.environ.get("OPENSTEREO_STTR_PALLAS", "1") == "1")
+                      and os.environ.get("OPENSTEREO_STTR_PALLAS", "1") == "1"
+                      and (not train or os.environ.get(
+                          "OPENSTEREO_STTR_PALLAS_TRAIN", "0") == "1"))
         attn_raw = Transformer(self.channel_dim, self.nheads, self.num_attn_layers,
                                use_pallas=use_pallas,
                                dtype=self.dtype, name="transformer")(

@@ -88,7 +88,11 @@ class MultiheadAttentionRelative(nn.Module):
         wk = k.shape[1]
         scaling = hd ** -0.5
 
-        if self.use_pallas and pos_table is not None and w == wk and w % 8 == 0:
+        # w % 16: the fused kernel's in-VMEM shear assumes sublane-aligned
+        # rows for bf16 operands; W' = 312 (1248-wide crops) faulted the TPU
+        # worker, W' ∈ {160, 240, 320} are validated. Odd widths fall back
+        # to the einsum path below (identical math, gradient-parity tested).
+        if self.use_pallas and pos_table is not None and w == wk and w % 16 == 0:
             # The Pallas kernel only implements the masked_last causal mask
             # (an explicit attn_mask would be silently ignored), and masks
             # with a finite -1e30 instead of -inf — so masked raw_attn

@@ -14,6 +14,7 @@ from .upsample import (  # noqa: F401
     upsample_nearest,
     resize_bilinear,
     resize_linear_align_corners,
+    resize_bicubic_torch,
     resize_linear_torch,
 )
 from .sampler import bilinear_sampler, disp_warp, sample_along_w  # noqa: F401

@@ -124,3 +124,44 @@ def resize_linear_align_corners(x: jnp.ndarray, sizes, axes) -> jnp.ndarray:
         mat = _interp_matrix_ac(n_in, n_out, x.dtype)
         x = jnp.moveaxis(jnp.tensordot(mat, x, axes=(1, ax)), 0, ax)
     return x
+
+
+def _interp_matrix_cubic_hp(n_in: int, n_out: int,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """[n_out, n_in] cubic-interpolation matrix, half-pixel centers, torch
+    kernel (A=-0.75), no antialiasing, border clamp — exact torch
+    F.interpolate(mode='bicubic', align_corners=False) with `size=`."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    import numpy as _np
+    a = -0.75
+
+    def kern(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+        if x < 2.0:
+            return a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a
+        return 0.0
+
+    m = _np.zeros((n_out, n_in), _np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) * (n_in / n_out) - 0.5
+        j0 = int(_np.floor(src)) - 1
+        for j in range(j0, j0 + 4):
+            m[i, min(max(j, 0), n_in - 1)] += kern(src - j)
+    return jnp.asarray(m, dtype)
+
+
+def resize_bicubic_torch(x: jnp.ndarray, sizes, axes) -> jnp.ndarray:
+    """Separable bicubic resize, exact torch F.interpolate(mode='bicubic',
+    align_corners=False) semantics, as per-axis banded matmuls. Used for
+    the FoundationStereo ViT-input resize (reference
+    foundationstereo/core/extractor.py:349-351)."""
+    for ax, n_out in zip(axes, sizes):
+        n_in = x.shape[ax]
+        if n_in == n_out:
+            continue
+        mat = _interp_matrix_cubic_hp(n_in, n_out, x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(mat, x, axes=(1, ax)), 0, ax)
+    return x

@@ -1539,6 +1539,265 @@ def convert_nmrf(sd: Dict[str, np.ndarray]) -> Dict:
     return b.finish()
 
 
+# =========================================================================
+# EdgeNeXt-small trunk (timm edgenext.py schema; FoundationStereo CNN
+# branch — reference foundationstereo/core/extractor.py:321-369)
+# =========================================================================
+
+def _edgenext(b: TreeBuilder, tpre: str, fpre: str):
+    b.raw_conv(f"{tpre}.stem.0", f"{fpre}/stem_conv")
+    _ln(b, f"{tpre}.stem.1", f"{fpre}/stem_norm")
+    depths, glob, scales = (3, 3, 9, 3), (0, 1, 1, 1), (2, 2, 3, 4)
+    for s in range(4):
+        sp = f"{tpre}.stages.{s}"
+        if s > 0:
+            _ln(b, f"{sp}.downsample.0", f"{fpre}/down{s}_norm")
+            b.raw_conv(f"{sp}.downsample.1", f"{fpre}/down{s}_conv")
+        n_local = depths[s] - glob[s]
+        for i in range(depths[s]):
+            bp = f"{sp}.blocks.{i}"
+            if i < n_local:
+                fp = f"{fpre}/stage{s}_block{i}"
+                b.raw_conv(f"{bp}.conv_dw", f"{fp}/dwconv")
+            else:
+                fp = f"{fpre}/stage{s}_sdta{i - n_local}"
+                for ci in range(max(1, scales[s] - 1)):
+                    b.raw_conv(f"{bp}.convs.{ci}", f"{fp}/conv{ci}")
+                if b.has(f"{bp}.pos_embd.token_projection.weight"):
+                    w = b.take(f"{bp}.pos_embd.token_projection.weight")
+                    b.put("params", f"{fp}/pos_proj/kernel",
+                          dense_kernel(w[:, :, 0, 0]))
+                    b.put("params", f"{fp}/pos_proj/bias",
+                          b.take(f"{bp}.pos_embd.token_projection.bias"))
+                _ln(b, f"{bp}.norm_xca", f"{fp}/norm_xca")
+                b.put("params", f"{fp}/gamma_xca", b.take(f"{bp}.gamma_xca"))
+                b.put("params", f"{fp}/xca/temperature",
+                      b.take(f"{bp}.xca.temperature"))
+                b.dense(f"{bp}.xca.qkv", f"{fp}/xca/qkv")
+                b.dense(f"{bp}.xca.proj", f"{fp}/xca/proj")
+            _ln(b, f"{bp}.norm", f"{fp}/norm")
+            b.dense(f"{bp}.mlp.fc1", f"{fp}/pw1")
+            b.dense(f"{bp}.mlp.fc2", f"{fp}/pw2")
+            b.put("params", f"{fp}/gamma", b.take(f"{bp}.gamma"))
+
+
+def convert_edgenext(sd: Dict[str, np.ndarray]) -> Dict:
+    b = TreeBuilder(sd)
+    _edgenext(b, "model", "model")
+    return b.finish()
+
+
+# =========================================================================
+# DepthAnything(V2) = DINOv2 ViT + DPT head (reference
+# foundationstereo/depth_anything/dpt.py + dinov2/models/vision_transformer
+# — MonSter vendors the same trunk under monster/depth_anything_v2/)
+# =========================================================================
+
+def _dino_vit(b: TreeBuilder, tpre: str, fpre: str, depth: int):
+    """DINOv2 trunk (torch hub dinov2_vitX14 schema) → models/backbones/
+    dinov2.DinoViT."""
+    b.put("params", f"{fpre}/cls_token", b.take(f"{tpre}.cls_token"))
+    b.put("params", f"{fpre}/pos_embed", b.take(f"{tpre}.pos_embed"))
+    b.drop(f"{tpre}.mask_token")  # masked-image-modeling only, never in eval
+    b.raw_conv(f"{tpre}.patch_embed.proj", f"{fpre}/patch_embed")
+    for i in range(depth):
+        bp, fp = f"{tpre}.blocks.{i}", f"{fpre}/block{i}"
+        _ln(b, f"{bp}.norm1", f"{fp}/norm1")
+        b.dense(f"{bp}.attn.qkv", f"{fp}/attn/qkv")
+        b.dense(f"{bp}.attn.proj", f"{fp}/attn/proj")
+        b.put("params", f"{fp}/ls1", b.take(f"{bp}.ls1.gamma"))
+        _ln(b, f"{bp}.norm2", f"{fp}/norm2")
+        b.dense(f"{bp}.mlp.fc1", f"{fp}/fc1")
+        b.dense(f"{bp}.mlp.fc2", f"{fp}/fc2")
+        b.put("params", f"{fp}/ls2", b.take(f"{bp}.ls2.gamma"))
+    _ln(b, f"{tpre}.norm", f"{fpre}/norm")
+
+
+def _dpt_head(b: TreeBuilder, tpre: str, fpre: str):
+    """DPTHead (reference depth_anything/dpt.py:23-106) →
+    models/backbones/dpt.DPTHead."""
+    for i in range(4):
+        b.raw_conv(f"{tpre}.projects.{i}", f"{fpre}/project{i}")
+    b.raw_conv(f"{tpre}.resize_layers.0", f"{fpre}/resize0", deconv=True)
+    b.raw_conv(f"{tpre}.resize_layers.1", f"{fpre}/resize1", deconv=True)
+    b.raw_conv(f"{tpre}.resize_layers.3", f"{fpre}/resize3")
+    for i in range(1, 5):
+        b.raw_conv(f"{tpre}.scratch.layer{i}_rn", f"{fpre}/layer{i}_rn")
+    for k in range(1, 5):
+        rp, fp = f"{tpre}.scratch.refinenet{k}", f"{fpre}/refinenet{k}"
+        for u, fu in (("resConfUnit1", "rcu1"), ("resConfUnit2", "rcu2")):
+            if k == 4 and u == "resConfUnit1":
+                # refinenet4 is always called without a skip input, so its
+                # resConfUnit1 exists in the torch state_dict but never runs
+                # (blocks.py:133-136); the flax module doesn't create it
+                b.drop(f"{rp}.{u}.")
+                continue
+            b.raw_conv(f"{rp}.{u}.conv1", f"{fp}/{fu}/conv1")
+            b.raw_conv(f"{rp}.{u}.conv2", f"{fp}/{fu}/conv2")
+        b.raw_conv(f"{rp}.out_conv", f"{fp}/out_conv")
+    b.raw_conv(f"{tpre}.scratch.output_conv1", f"{fpre}/output_conv1")
+    b.raw_conv(f"{tpre}.scratch.output_conv2.0", f"{fpre}/output_conv2a")
+    b.raw_conv(f"{tpre}.scratch.output_conv2.2", f"{fpre}/output_conv2b")
+
+
+def _dav2(b: TreeBuilder, tpre: str, fpre: str, depth: int = 12):
+    _dino_vit(b, f"{tpre}.pretrained", f"{fpre}/pretrained", depth)
+    _dpt_head(b, f"{tpre}.depth_head", f"{fpre}/depth_head")
+
+
+def _fs_reduced(b: TreeBuilder, tpre: str, fpre: str):
+    """Conv3dNormActReduced (submodule.py:87-112): biased (1,k,k) +
+    (kd,1,1) convs, each BN+ReLU."""
+    b.conv(f"{tpre}.conv1.0", f"{fpre}/conv_sp")
+    b.bn(f"{tpre}.conv1.1", f"{fpre}/conv_sp")
+    b.conv(f"{tpre}.conv2.0", f"{fpre}/conv_d")
+    b.bn(f"{tpre}.conv2.1", f"{fpre}/conv_d")
+
+
+def _fs_res3d(b: TreeBuilder, tpre: str, fpre: str):
+    """ResnetBasicBlock3D (submodule.py:157-200, bias=False)."""
+    for c in ("conv1", "conv2"):
+        b.conv(f"{tpre}.{c}", f"{fpre}/{c}")
+    b.bn(f"{tpre}.bn1", f"{fpre}/conv1")
+    b.bn(f"{tpre}.bn2", f"{fpre}/conv2")
+
+
+def _fs_res_in(b: TreeBuilder, tpre: str, fpre: str):
+    """extractor.py ResidualBlock norm_fn='instance' (biased convs,
+    param-free norms)."""
+    b.conv(f"{tpre}.conv1", f"{fpre}/conv1")
+    b.conv(f"{tpre}.conv2", f"{fpre}/conv2")
+
+
+def _fs_disp_transformer(b: TreeBuilder, tpre: str, fpre: str, layers: int = 4):
+    """CostVolumeDisparityAttention (submodule.py:540-564): per layer a
+    FlashAttentionTransformerEncoderLayer with separate q/k/v/out projs."""
+    for i in range(layers):
+        sp, fp = f"{tpre}.sa.{i}", f"{fpre}/sa{i}"
+        b.dense(f"{sp}.self_attn.q_proj", f"{fp}/q")
+        b.dense(f"{sp}.self_attn.k_proj", f"{fp}/k")
+        b.dense(f"{sp}.self_attn.v_proj", f"{fp}/v")
+        b.dense(f"{sp}.self_attn.out_proj", f"{fp}/out_proj")
+        b.dense(f"{sp}.linear1", f"{fp}/fc1")
+        b.dense(f"{sp}.linear2", f"{fp}/fc2")
+        _ln(b, f"{sp}.norm1", f"{fp}/norm1")
+        _ln(b, f"{sp}.norm2", f"{fp}/norm2")
+
+
+def _fs_hourglass(b: TreeBuilder, tpre: str, fpre: str):
+    """FoundationStereo AHCF hourglass (foundation_stereo.py:42-124)."""
+    for lvl in (1, 2, 3):
+        b.conv(f"{tpre}.conv{lvl}.0.conv", f"{fpre}/conv{lvl}a")
+        b.bn(f"{tpre}.conv{lvl}.0.bn", f"{fpre}/conv{lvl}a")
+        _fs_reduced(b, f"{tpre}.conv{lvl}.1", f"{fpre}/conv{lvl}b")
+    for name in ("conv3_up", "conv2_up", "conv1_up"):
+        b.conv(f"{tpre}.{name}.conv", f"{fpre}/{name}", deconv=True)
+        b.bn(f"{tpre}.{name}.bn", f"{fpre}/{name}")
+    for agg, f in (("agg_0", "agg0"), ("agg_1", "agg1")):
+        b.conv(f"{tpre}.{agg}.0.conv", f"{fpre}/{f}a")
+        b.bn(f"{tpre}.{agg}.0.bn", f"{fpre}/{f}a")
+        _fs_reduced(b, f"{tpre}.{agg}.1", f"{fpre}/{f}b")
+        _fs_reduced(b, f"{tpre}.{agg}.2", f"{fpre}/{f}c")
+    for t, f in (("feature_att_8", "att8"), ("feature_att_16", "att16"),
+                 ("feature_att_32", "att32"), ("feature_att_up_16", "att_up16"),
+                 ("feature_att_up_8", "att_up8")):
+        _feature_att(b, f"{tpre}.{t}", f"{fpre}/{f}")
+    b.raw_conv(f"{tpre}.conv_patch.0", f"{fpre}/conv_patch")
+    _raw_bn(b, f"{tpre}.conv_patch.1", f"{fpre}/conv_patch_bn")
+    _fs_disp_transformer(b, f'{tpre}.atts.4', f"{fpre}/disp_att")
+    _fs_reduced(b, f"{tpre}.conv_out.0", f"{fpre}/out0")
+    _fs_reduced(b, f"{tpre}.conv_out.1", f"{fpre}/out1")
+
+
+def _fs_edgenext_plain(b: TreeBuilder, tpre: str, fpre: str):
+    """EdgeNextConvEncoder norm=None (submodule.py:599-626)."""
+    b.raw_conv(f"{tpre}.dwconv", f"{fpre}/dwconv")
+    b.dense(f"{tpre}.pwconv1", f"{fpre}/pw1")
+    b.dense(f"{tpre}.pwconv2", f"{fpre}/pw2")
+    b.put("params", f"{fpre}/gamma", b.take(f"{tpre}.gamma"))
+
+
+def _fs_selective_gru(b: TreeBuilder, tpre: str, fpre: str):
+    """SelectiveConvGRU (update.py:96-117)."""
+    b.raw_conv(f"{tpre}.conv0.0", f"{fpre}/conv0")
+    b.raw_conv(f"{tpre}.conv1.0", f"{fpre}/conv1")
+    for g in ("small_gru", "large_gru"):
+        for k in ("convz", "convr", "convq"):
+            b.raw_conv(f"{tpre}.{g}.{k}", f"{fpre}/{g}/{k}")
+
+
+def convert_foundationstereo(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference FoundationStereo (core/foundation_stereo.py:124-264) →
+    flax FoundationStereo variables. Unused reference modules (stem_4,
+    context_zqr_convs, cnet.down/norm, dino mask_token) are dropped."""
+    b = TreeBuilder(sd)
+    # feature: EdgeNeXt trunk + frozen DAv2 + Conv2x_IN decoder + conv4
+    _edgenext(b, "feature", "feature/trunk")
+    _dav2(b, "feature.dino.depth_anything", "feature/dino")
+    # foundation Conv2x_IN: deconv stage + RESIDUAL InstanceNorm fuse block
+    # (submodule.py:383-418; norms non-affine, fuse convs bias-free)
+    for name in ("deconv32_16", "deconv16_8", "deconv8_4"):
+        t, f = f"feature.{name}", f"feature/{name}"
+        b.conv(f"{t}.conv1.conv", f"{f}/conv1/conv", deconv=True)
+        b.conv(f"{t}.conv2.conv1", f"{f}/fuse1")
+        b.conv(f"{t}.conv2.conv2", f"{f}/fuse2")
+    b.conv("feature.conv4.0.conv", "feature/conv4a/conv")
+    _fs_res_in(b, "feature.conv4.1", "feature/conv4b")
+    _fs_res_in(b, "feature.conv4.2", "feature/conv4c")
+    # stems + superpixel head
+    b.conv("stem_2.0.conv", "stem_2a/conv")
+    b.conv("stem_2.1", "stem_2b")
+    b.drop("stem_4")                      # instantiated, never called
+    _conv2x(b, "spx_2_gru", "spx_2_gru", bn=False)
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    # volume stem + aggregation + classifier
+    b.raw_conv("proj_cmb", "proj_cmb")
+    b.raw_conv("corr_stem.0", "corr_stem0")
+    b.conv("corr_stem.1.conv", "corr_stem1/conv")
+    b.bn("corr_stem.1.bn", "corr_stem1/conv")
+    _fs_res3d(b, "corr_stem.2", "corr_stem2")
+    _fs_res3d(b, "corr_stem.3", "corr_stem3")
+    _feature_att(b, "corr_feature_att", "corr_feature_att")
+    _fs_hourglass(b, "cost_agg", "cost_agg")
+    b.conv("classifier.0.conv", "classifier0/conv")
+    b.bn("classifier.0.bn", "classifier0/conv")
+    _fs_res3d(b, "classifier.1", "classifier1")
+    b.raw_conv("classifier.2", "classifier2")
+    # context net (ContextNetDino) + shared cam/sam
+    _multi_basic_encoder(b, "cnet", "cnet")
+    b.conv("cnet.conv2.conv", "cnet/conv2")
+    b.bn("cnet.conv2.bn", "cnet/conv2")
+    b.drop("cnet.down")
+    b.drop("cnet.norm.")
+    b.raw_conv("cam.fc.0", "cam/fc1")
+    b.raw_conv("cam.fc.2", "cam/fc2")
+    b.raw_conv("sam.samconv", "sam/samconv")
+    b.drop("context_zqr_convs")           # instantiated, never called
+    # selective update block (inside the nn.scan loop)
+    up = "gru_loop/update_block"
+    for k in ("convc1", "convc2", "convd1", "convd2", "conv"):
+        b.raw_conv(f"update_block.encoder.{k}", f"{up}/encoder/{k}")
+    for g in ("gru16", "gru08", "gru04"):
+        _fs_selective_gru(b, f"update_block.{g}", f"{up}/{g}")
+    b.raw_conv("update_block.disp_head.conv.0", f"{up}/disp_head/conv_in")
+    _fs_edgenext_plain(b, "update_block.disp_head.conv.2", f"{up}/disp_head/enc0")
+    _fs_edgenext_plain(b, "update_block.disp_head.conv.3", f"{up}/disp_head/enc1")
+    b.raw_conv("update_block.disp_head.conv.4", f"{up}/disp_head/conv_out")
+    b.raw_conv("update_block.mask.0", f"{up}/mask0")
+    b.raw_conv("update_block.mask.2", f"{up}/mask1")
+    return b.finish()
+
+
+def convert_depth_anything(sd: Dict[str, np.ndarray], depth: int = 12) -> Dict:
+    """Standalone DepthAnythingV2 checkpoint (keys ``pretrained.*`` /
+    ``depth_head.*``) → backbones/dpt.DepthAnythingV2 variables (trunk
+    depth 12 for vits/vitb, 24 for vitl)."""
+    b = TreeBuilder(sd)
+    _dino_vit(b, "pretrained", "pretrained", depth)
+    _dpt_head(b, "depth_head", "depth_head")
+    return b.finish()
+
+
 CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "PSMNet": convert_psmnet,
     "GwcNet": convert_gwcnet,
@@ -1561,6 +1820,9 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "AANet": convert_aanet,
     "CoEx": convert_coex,
     "IINet": convert_iinet,
+    "EdgeNeXt": convert_edgenext,
+    "DepthAnything": convert_depth_anything,
+    "FoundationStereo": convert_foundationstereo,
 }
 
 

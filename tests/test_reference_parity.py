@@ -797,3 +797,68 @@ def test_aanet_forward_parity():
     exp = _run_ref(tmodel, left, right)
     got = _run_ours(ours, variables, left, right)
     np.testing.assert_allclose(got, exp, atol=1e-3, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# FoundationStereo (foundationstereo/core/foundation_stereo.py)
+# ---------------------------------------------------------------------------
+
+def _load_foundation_ref():
+    """Load the reference FoundationStereo with its vendored DINOv2/DPT and
+    offline fakes: flash_attn/trimesh/open3d/transformations
+    (fake_foundation_deps), timm's edgenext_small (fake_timm), torchvision
+    (fake_torchvision). torch.hub.load and the hardcoded DepthAnythingV2
+    checkpoint load are monkeypatched to the vendored vit_small with random
+    init — the parity test converts whatever weights the oracle holds."""
+    import sys
+
+    import torch.hub
+
+    import fake_foundation_deps
+    import fake_timm
+    import fake_torchvision
+
+    fake_foundation_deps.install()
+    fake_timm.install()
+    fake_torchvision.install()
+    fs_dir = "/root/reference/stereo/modeling/models/foundationstereo"
+    if fs_dir not in sys.path:
+        sys.path.insert(0, fs_dir)
+    dpt_mod = load_ref_module(
+        "stereo.modeling.models.foundationstereo.depth_anything.dpt")
+    # stays patched: DPT_DINOv2.__init__ calls torch.hub.load with a
+    # hardcoded local path at model CONSTRUCTION time (dpt.py:159-160)
+    torch.hub.load = lambda *a, **k: __import__(
+        "dinov2.hub.backbones", fromlist=["x"]).dinov2_vits14(pretrained=False)
+    dpt_mod.DepthAnything = lambda config: dpt_mod.DPT_DINOv2(**config)
+    return load_ref_module(
+        "stereo.modeling.models.foundationstereo.core.foundation_stereo")
+
+
+def test_foundationstereo_forward_parity():
+    """Full FoundationStereo (vits): frozen DINOv2+DPT side-tuning, EdgeNeXt
+    trunk, cosine-gwc ∥ concat hybrid volume, AHCF hourglass with the
+    disparity-axis transformer, selective multi-GRU, superpixel upsample."""
+    from openstereo_tpu.models.foundationstereo import FoundationStereo
+
+    ref_mod = _load_foundation_ref()
+    args = NS(hidden_dims=[128, 128, 128], n_downsample=2, max_disp=64,
+              n_gru_layers=3, corr_levels=2, corr_radius=4, vit_size="vits",
+              train_iters=3, valid_iters=3, mixed_precision=False,
+              low_memory=False)
+    args["get"] = args.get
+    tmodel = ref_mod.FoundationStereo(args)
+    _randomize_bn_stats(tmodel)
+
+    variables = convert("FoundationStereo",
+                        {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = FoundationStereo(max_disp=64, vit_size="vits", train_iters=3,
+                            valid_iters=3, dtype=jnp.float64)
+
+    rng = np.random.RandomState(41)
+    left = rng.rand(1, 64, 96, 3).astype(np.float32)
+    right = rng.rand(1, 64, 96, 3).astype(np.float32)
+    _check_tree_matches(variables, ours, left)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-5, rtol=0)
