@@ -33,7 +33,7 @@ from ..backbones.dpt import DAV2_CONFIGS
 from ..backbones.edgenext import EdgeNeXtFeatures
 from ..foundationstereo.blocks import (AHCFHourglass,
                                        BasicSelectiveMultiUpdateBlock,
-                                       ChannelAttentionEnhancement,
+                                       ChannelAttentionEnhancement, Conv2xFS,
                                        ResnetBasicBlock3D,
                                        SpatialAttentionExtractor)
 from ..foundationstereo.foundationstereo import (_FSGRUIteration,
@@ -59,12 +59,15 @@ class FFSFeature(nn.Module):
         vit_dim = DAV2_CONFIGS[self.vit_size][0] // 2
         c4, c8, c16, c32 = EdgeNeXtFeatures(dtype=self.dtype, name="trunk")(
             x, train=train)
-        y16 = Conv2x(160, deconv=True, norm="instance", dtype=self.dtype,
-                     name="deconv32_16")(c32, c16, train=train)   # 320c
-        y8 = Conv2x(96, deconv=True, norm="instance", dtype=self.dtype,
-                    name="deconv16_8")(y16, c8, train=train)      # 192c
-        y4 = Conv2x(48, deconv=True, norm="instance", dtype=self.dtype,
-                    name="deconv8_4")(y8, c4, train=train)        # 96c
+        # fast Conv2x_IN fuses with a RESIDUAL InstanceNorm block
+        # (fast_foundationstereo/core/submodule.py:335-371), same as the
+        # FoundationStereo teacher
+        y16 = Conv2xFS(160, dtype=self.dtype,
+                       name="deconv32_16")(c32, c16, train=train)  # 320c
+        y8 = Conv2xFS(96, dtype=self.dtype,
+                      name="deconv16_8")(y16, c8, train=train)     # 192c
+        y4 = Conv2xFS(48, dtype=self.dtype,
+                      name="deconv8_4")(y8, c4, train=train)       # 96c
         y4 = nn.Conv(96 + vit_dim, (1, 1), dtype=self.dtype, name="conv4")(y4)
         return [y4, y8, y16, c32]
 
@@ -139,7 +142,8 @@ class FastFoundationStereo(nn.Module):
         comb = FeatureAtt(self.volume_dim, dtype=self.dtype,
                           name="corr_feature_att")(comb, feats_l[0], train=train)
         comb = AHCFHourglass(self.volume_dim, [f.shape[-1] for f in feats_l],
-                             max_disp=self.max_disp, dtype=self.dtype,
+                             max_disp=self.max_disp, headwise_att=True,
+                             dtype=self.dtype,
                              name="cost_agg")(comb, feats_l, train=train)
 
         cls = BasicConvBN(self.volume_dim // 2, 3, ndim=3, dtype=self.dtype,
@@ -155,12 +159,13 @@ class FastFoundationStereo(nn.Module):
                                 name="cnet")(feats_l[0])
         net_list = [jnp.tanh(o[0]) for o in cnet]
         inp_list = [nn.relu(o[1]) for o in cnet]
-        inp_list = [
-            ChannelAttentionEnhancement(self.hidden_dim, dtype=self.dtype,
-                                        name=f"cam{i}")(x) * x
-            for i, x in enumerate(inp_list)]
-        att = [SpatialAttentionExtractor(dtype=self.dtype, name=f"sam{i}")(x)
-               for i, x in enumerate(inp_list)]
+        # single shared cam/sam across levels (reference fast
+        # foundation_stereo.py:142-143, applied per level at :236-238)
+        cam = ChannelAttentionEnhancement(self.hidden_dim, dtype=self.dtype,
+                                          name="cam")
+        inp_list = [cam(x) * x for x in inp_list]
+        sam = SpatialAttentionExtractor(dtype=self.dtype, name="sam")
+        att = [sam(x) for x in inp_list]
 
         geo_fn = CombinedGeoEncodingVolume(
             _l2_normalize(feats_l[0].astype(head_dtype(self.dtype)), -1),
@@ -172,7 +177,8 @@ class FastFoundationStereo(nn.Module):
         coords = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (bb, h4, w4))
 
-        spx_2_gru = Conv2x(32, deconv=True, norm="batch", dtype=self.dtype,
+        # reference: Conv2x(32, 32, deconv=True, bn=False) — norm-free
+        spx_2_gru = Conv2x(32, deconv=True, norm="none", dtype=self.dtype,
                            name="spx_2_gru")
         spx_gru = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
                                    dtype=self.dtype, name="spx_gru")
@@ -188,6 +194,7 @@ class FastFoundationStereo(nn.Module):
             split_rngs={"params": False}, in_axes=nn.broadcast, length=iters,
         )(hidden_dim=self.hidden_dim, n_gru_layers=self.n_gru_layers,
           radius=self.corr_radius, num_levels=self.corr_levels,
+          motion_fuse_kernel=1,  # fast update.py:33 fuses with a 1x1 conv
           dtype=self.dtype, name="gru_loop")
         carry = (tuple(net_list), init_disp[..., None])
         consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),

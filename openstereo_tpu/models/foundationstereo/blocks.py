@@ -114,6 +114,11 @@ class DispTransformerLayer(nn.Module):
     dim: int
     num_heads: int = 4
     ffn: int = 28
+    # FastFoundationStereo's layer feeds (B, L, H, D) tensors straight into
+    # F.scaled_dot_product_attention (fast submodule.py:250), which attends
+    # over the HEAD axis per disparity position instead of over disparity —
+    # reproduce that exact (degenerate) semantics when headwise=True.
+    headwise: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,9 +132,16 @@ class DispTransformerLayer(nn.Module):
         q = q.reshape(b, d, nh, hd) * hd ** -0.5
         k = k.reshape(b, d, nh, hd)
         v = v.reshape(b, d, nh, hd)
-        attn = jnp.einsum("bdhc,behc->bhde", q, k)
-        p = nn.softmax(attn.astype(head_dtype(self.dtype)), axis=-1).astype(v.dtype)
-        y = jnp.einsum("bhde,behc->bdhc", p, v).reshape(b, d, c)
+        if self.headwise:
+            attn = jnp.einsum("bdhc,bdgc->bdhg", q, k)
+            p = nn.softmax(attn.astype(head_dtype(self.dtype)),
+                           axis=-1).astype(v.dtype)
+            y = jnp.einsum("bdhg,bdgc->bdhc", p, v).reshape(b, d, c)
+        else:
+            attn = jnp.einsum("bdhc,behc->bhde", q, k)
+            p = nn.softmax(attn.astype(head_dtype(self.dtype)),
+                           axis=-1).astype(v.dtype)
+            y = jnp.einsum("bhde,behc->bdhc", p, v).reshape(b, d, c)
         y = nn.Dense(c, dtype=self.dtype, name="out_proj")(y)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + y)
         y = nn.Dense(self.ffn, dtype=self.dtype, name="fc1")(x)
@@ -158,6 +170,7 @@ class CostVolumeDisparityAttention(nn.Module):
     num_heads: int = 4
     ffn: int = 28
     num_layers: int = 4
+    headwise: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,6 +180,7 @@ class CostVolumeDisparityAttention(nn.Module):
         x = x + jnp.asarray(_sincos_table(d, c)).astype(x.dtype)
         for i in range(self.num_layers):
             x = DispTransformerLayer(self.dim, self.num_heads, self.ffn,
+                                     headwise=self.headwise,
                                      dtype=self.dtype, name=f"sa{i}")(x)
         return jnp.transpose(x.reshape(b, h, w, d, c), (0, 3, 1, 2, 4))
 
@@ -181,6 +195,7 @@ class AHCFHourglass(nn.Module):
     features: int  # volume_dim (28)
     feat_dims: Sequence[int]
     max_disp: int = 192
+    headwise_att: bool = False   # FastFoundationStereo quirk, see above
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -238,8 +253,8 @@ class AHCFHourglass(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              name="conv_patch_bn")(patch)
         patch = CostVolumeDisparityAttention(
-            c, num_heads=4, ffn=c, num_layers=4, dtype=self.dtype,
-            name="disp_att")(patch)
+            c, num_heads=4, ffn=c, num_layers=4, headwise=self.headwise_att,
+            dtype=self.dtype, name="disp_att")(patch)
         # trilinear ×4 back to the decoder resolution (reference
         # foundation_stereo.py:117-119, align_corners=False)
         import jax
@@ -370,8 +385,10 @@ def interp_to(x, dest):
 
 class BasicMotionEncoderFS(nn.Module):
     """Geo features + disp → motion features (reference update.py:49-71,
-    ngroup=volume_dim)."""
+    ngroup=volume_dim). FastFoundationStereo's variant fuses with a 1×1
+    conv instead of 3×3 (fast_foundationstereo/core/update.py:33)."""
 
+    fuse_kernel: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -382,7 +399,8 @@ class BasicMotionEncoderFS(nn.Module):
         cor = nn.relu(conv(256, 3, "convc2")(cor))
         d = nn.relu(conv(64, 7, "convd1")(disp))
         d = nn.relu(conv(64, 3, "convd2")(d))
-        out = nn.relu(conv(127, 3, "conv")(jnp.concatenate([cor, d], axis=-1)))
+        out = nn.relu(conv(127, self.fuse_kernel, "conv")(
+            jnp.concatenate([cor, d], axis=-1)))
         return jnp.concatenate([out, disp], axis=-1)
 
 
@@ -391,6 +409,7 @@ class BasicSelectiveMultiUpdateBlock(nn.Module):
 
     hidden_dim: int = 128
     n_gru_layers: int = 3
+    motion_fuse_kernel: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -406,7 +425,8 @@ class BasicSelectiveMultiUpdateBlock(nn.Module):
                 extra.append(interp_to(net[2], net[1]))
             net[1] = SelectiveConvGRU(hd, dtype=self.dtype, name="gru08")(
                 att[1], net[1], inp[1], *extra)
-        motion = BasicMotionEncoderFS(dtype=self.dtype, name="encoder")(disp, corr)
+        motion = BasicMotionEncoderFS(self.motion_fuse_kernel,
+                                      dtype=self.dtype, name="encoder")(disp, corr)
         motion = jnp.concatenate([inp[0], motion], axis=-1)
         extra = [interp_to(net[1], net[0])] if self.n_gru_layers > 1 else []
         net[0] = SelectiveConvGRU(hd, dtype=self.dtype, name="gru04")(

@@ -147,6 +147,7 @@ class _FSGRUIteration(nn.Module):
     n_gru_layers: int
     radius: int
     num_levels: int
+    motion_fuse_kernel: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -168,7 +169,8 @@ class _FSGRUIteration(nn.Module):
         geo_feat = jnp.concatenate(feats, axis=-1)
 
         net, mask_feat, delta = BasicSelectiveMultiUpdateBlock(
-            self.hidden_dim, self.n_gru_layers, dtype=self.dtype,
+            self.hidden_dim, self.n_gru_layers, self.motion_fuse_kernel,
+            dtype=self.dtype,
             name="update_block")(list(net), inp, geo_feat, disp, att)
         disp = disp + delta
         return (tuple(net), disp), (disp[..., 0], mask_feat)

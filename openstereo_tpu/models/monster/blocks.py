@@ -75,9 +75,11 @@ class MonsterHourglass(nn.Module):
     @nn.compact
     def __call__(self, x, features, *, train: bool = False):
         c = self.features
+        # reference submodule BasicConv: bias-free conv + BN +
+        # nn.LeakyReLU() (default slope 0.01, NOT 0.2)
         bc = lambda f, s, name: ConvBlock(  # noqa: E731
-            f, 3, strides=s, norm="batch", act=leaky_relu(0.2), use_bias=True,
-            ndim=3, dtype=self.dtype, name=name)
+            f, 3, strides=s, norm="batch", act=leaky_relu(), ndim=3,
+            dtype=self.dtype, name=name)
         conv1 = bc(c * 2, 2, "conv1a")(x, train=train)
         conv1 = bc(c * 2, 1, "conv1b")(conv1, train=train)
         conv1 = FeatureAtt(c * 2, dtype=self.dtype, name="att8")(
@@ -91,30 +93,30 @@ class MonsterHourglass(nn.Module):
         conv3 = FeatureAtt(c * 6, dtype=self.dtype, name="att32")(
             conv3, features[3], train=train)
 
-        y = DeconvBlock(c * 4, 4, 2, norm="batch", act=leaky_relu(0.2),
-                        use_bias=True, ndim=3, dtype=self.dtype,
+        y = DeconvBlock(c * 4, 4, 2, norm="batch", act=leaky_relu(),
+                        ndim=3, dtype=self.dtype,
                         name="conv3_up")(conv3, train=train)
         y = jnp.concatenate([y, conv2], axis=-1)
-        y = ConvBlock(c * 4, 1, norm="batch", act=leaky_relu(0.2), use_bias=True,
+        y = ConvBlock(c * 4, 1, norm="batch", act=leaky_relu(),
                       ndim=3, dtype=self.dtype, name="agg0a")(y, train=train)
         y = bc(c * 4, 1, "agg0b")(y, train=train)
         y = bc(c * 4, 1, "agg0c")(y, train=train)
         y = FeatureAtt(c * 4, dtype=self.dtype, name="att_up16")(
             y, features[2], train=train)
 
-        y = DeconvBlock(c * 2, 4, 2, norm="batch", act=leaky_relu(0.2),
-                        use_bias=True, ndim=3, dtype=self.dtype,
+        y = DeconvBlock(c * 2, 4, 2, norm="batch", act=leaky_relu(),
+                        ndim=3, dtype=self.dtype,
                         name="conv2_up")(y, train=train)
         y = jnp.concatenate([y, conv1], axis=-1)
-        y = ConvBlock(c * 2, 1, norm="batch", act=leaky_relu(0.2), use_bias=True,
+        y = ConvBlock(c * 2, 1, norm="batch", act=leaky_relu(),
                       ndim=3, dtype=self.dtype, name="agg1a")(y, train=train)
         y = bc(c * 2, 1, "agg1b")(y, train=train)
         y = bc(c * 2, 1, "agg1c")(y, train=train)
         y = FeatureAtt(c * 2, dtype=self.dtype, name="att_up8")(
             y, features[1], train=train)
 
-        # final deconv: no norm, no act (monster.py:92-93)
-        return DeconvBlock(8, 4, 2, use_bias=True, ndim=3, dtype=self.dtype,
+        # final deconv: no norm, no act, no bias (monster.py:88-89)
+        return DeconvBlock(8, 4, 2, ndim=3, dtype=self.dtype,
                            name="conv1_up")(y, train=train)
 
 
@@ -177,13 +179,15 @@ class Conv2xNow(nn.Module):
 
     @nn.compact
     def __call__(self, x, rem, *, train: bool = False):
+        # BasicConv_now (refinement.py:55-81): bias-free conv + BN + PLAIN
+        # ReLU (F.relu, not leaky)
         k = 4 if self.deconv else 3
         Block = DeconvBlock if self.deconv else ConvBlock
-        x = Block(self.features, k, 2, norm="batch", act=leaky_relu(0.2),
-                  use_bias=True, dtype=self.dtype, name="conv1")(x, train=train)
+        x = Block(self.features, k, 2, norm="batch", act=nn.relu,
+                  dtype=self.dtype, name="conv1")(x, train=train)
         x = jnp.concatenate([x, rem], axis=-1)
-        return ConvBlock(self.features, 3, norm="batch", act=leaky_relu(0.2),
-                         use_bias=True, dtype=self.dtype,
+        return ConvBlock(self.features, 3, norm="batch", act=nn.relu,
+                         dtype=self.dtype,
                          name="conv2")(x, train=train)
 
 
@@ -197,8 +201,8 @@ class SimpleUNet(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         bc = lambda f, s, d, name: ConvBlock(  # noqa: E731
-            f, 3, strides=s, dilation=d, norm="batch", act=leaky_relu(0.2),
-            use_bias=True, dtype=self.dtype, name=name)
+            f, 3, strides=s, dilation=d, norm="batch", act=nn.relu,
+            dtype=self.dtype, name=name)
         r0 = x
         r1 = bc(48, 2, 1, "conv1a")(r0, train=train)
         r2 = bc(64, 2, 1, "conv2a")(r1, train=train)
@@ -241,9 +245,9 @@ class REMP(nn.Module):
         cbn = lambda f, name, **kw: ConvBlock(  # noqa: E731
             f, 3, norm="batch", act=leaky_relu(0.2), use_bias=False,
             dtype=self.dtype, name=name, **kw)
-        warped_m, _ = disp_warp(right, disp_mono[..., 0], padding="border")
+        warped_m, _ = disp_warp(right, disp_mono[..., 0], padding="border", torch_unaligned=True)
         flaw_m = warped_m - left
-        warped_s, _ = disp_warp(right, disp_stereo[..., 0], padding="border")
+        warped_s, _ = disp_warp(right, disp_stereo[..., 0], padding="border", torch_unaligned=True)
         flaw_s = warped_s - left
 
         fm = cbn(16, "conv1_mono")(jnp.concatenate([flaw_m, left], -1), train=train)
@@ -251,8 +255,8 @@ class REMP(nn.Module):
         dm = cbn(16, "conv2_mono")(disp_mono, train=train)
         ds = cbn(16, "conv2_stereo")(disp_stereo, train=train)
         x = jnp.concatenate([fm, dm, fs, ds], axis=-1)
-        x = ConvBlock(32, 3, dilation=2, norm="batch", act=leaky_relu(0.2),
-                      use_bias=True, dtype=self.dtype,
+        x = ConvBlock(32, 3, dilation=2, norm="batch", act=nn.relu,
+                      dtype=self.dtype,
                       name="conv_start")(x, train=train)
         x = SimpleUNet(32, dtype=self.dtype, name="unet")(x, train=train)
 
@@ -278,7 +282,10 @@ def compute_scale_shift(mono, disp):
     """
 
     def one(m, d):
-        thresh = jnp.percentile(m.reshape(-1), 20.0)
+        # reference takes the sorted value AT index int(0.2*N) (monster.py
+        # :38-41) — not an interpolated percentile
+        flat = jnp.sort(m.reshape(-1))
+        thresh = flat[int(0.2 * flat.size)]
         mask = (d > 0) & (m > 1e-2) & (m > thresh)
         w = mask.astype(m.dtype)
         n = jnp.sum(w)

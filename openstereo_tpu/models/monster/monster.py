@@ -156,9 +156,9 @@ class _MonsterIterationB(nn.Module):
             return jnp.concatenate(feats, axis=-1)
 
         geo_s, geo_m = geo(disp), geo(disp_m)
-        warped_m, _ = disp_warp(feat_r, disp_m[..., 0], padding="border")
+        warped_m, _ = disp_warp(feat_r, disp_m[..., 0], padding="border", torch_unaligned=True)
         flaw_m = warped_m - feat_l
-        warped_s, _ = disp_warp(feat_r, disp[..., 0], padding="border")
+        warped_s, _ = disp_warp(feat_r, disp[..., 0], padding="border", torch_unaligned=True)
         flaw_s = warped_s - feat_l
 
         net, mask_feat, delta = MixUpdateBlock(
@@ -286,6 +286,10 @@ class MonSter(nn.Module):
             **common, name="gru_loop")
         consts_a = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
                     tuple(inp_list), coords)
+        # the mono branch's hidden states are a clone of the INITIAL
+        # (pre-loop) states, not the post-phase-A ones
+        # (reference monster.py:408 clones before the iteration loop)
+        net_list_init = tuple(net_list)
         carry_a = (tuple(net_list), init_disp[..., None])
         carry_a, (disp_seq_a, mask_seq_a) = loop_a(carry_a, consts_a)
         net_list, disp = carry_a[0], carry_a[1]
@@ -306,7 +310,7 @@ class MonSter(nn.Module):
                     tuple(inp_list), coords,
                     feats_l[0].astype(head_dtype(self.dtype)),
                     feats_r[0].astype(head_dtype(self.dtype)))
-        carry_b = (net_list, tuple(net_list), disp, disp_m)
+        carry_b = (net_list, net_list_init, disp, disp_m)
         carry_b, (disp_seq_b, mask_seq_b, disp_seq_m, mask_seq_m) = \
             loop_b(carry_b, consts_b)
         final_disp, final_mask = carry_b[2], mask_seq_b[-1]

@@ -75,23 +75,35 @@ def sample_along_w(y: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def disp_warp(right: jnp.ndarray, disp: jnp.ndarray, padding: str = "zeros"):
+def disp_warp(right: jnp.ndarray, disp: jnp.ndarray, padding: str = "zeros",
+              torch_unaligned: bool = False):
     """Warp right view to the left camera: sample right at (x - disp, y).
 
     right: [B,H,W,C]; disp: [B,H,W] (positive disparities).
     padding: 'zeros' (out-of-frame → 0, FADNet convention) or 'border'
     (clamp to the frame edge — MonSter's warp, reference
     monster/warp.py:53-80 grid_sample padding_mode='border').
+    torch_unaligned: reproduce the reference warp's coordinate quirk —
+    it normalises the grid with 2x/(W-1)-1 but samples through
+    grid_sample's default align_corners=False, so the effective source is
+    (x-d)·W/(W-1) - 0.5 and y·H/(H-1) - 0.5 (a sub-pixel shear growing
+    toward the right/bottom edges). Required for numerical parity with
+    MonSter (warp.py:5-15) and AANet-style warps; off = clean pixel
+    coordinates.
     Returns (warped [B,H,W,C], valid_mask [B,H,W,1]).
     """
     b, h, w, _ = right.shape
     xs = jnp.arange(w, dtype=disp.dtype)[None, None, :]
     ys = jnp.arange(h, dtype=disp.dtype)[None, :, None]
     x_src = jnp.broadcast_to(xs, (b, h, w)) - disp
-    y_src = jnp.broadcast_to(ys, (b, h, w))
+    y_src = jnp.broadcast_to(ys + jnp.zeros_like(disp), (b, h, w))
+    if torch_unaligned:
+        x_src = x_src * (w / max(w - 1, 1)) - 0.5
+        y_src = y_src * (h / max(h - 1, 1)) - 0.5
     valid = ((x_src >= 0) & (x_src <= w - 1)).astype(right.dtype)[..., None]
     if padding == "border":
         x_src = jnp.clip(x_src, 0.0, w - 1)
+        y_src = jnp.clip(y_src, 0.0, h - 1)
     coords = jnp.stack([x_src, y_src], axis=-1)
     warped = bilinear_sampler(right, coords)
     if padding == "zeros":

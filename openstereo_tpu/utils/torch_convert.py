@@ -1788,6 +1788,200 @@ def convert_foundationstereo(sd: Dict[str, np.ndarray]) -> Dict:
     return b.finish()
 
 
+def convert_fastfoundationstereo(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference FastFoundationStereo (fast_foundationstereo/core/
+    foundation_stereo.py:129-325) → flax FastFoundationStereo. Same AHCF
+    stack as the teacher, EdgeNeXt-only features, single-scale shared
+    context net."""
+    b = TreeBuilder(sd)
+    _edgenext(b, "feature", "feature/trunk")
+    for name in ("deconv32_16", "deconv16_8", "deconv8_4"):
+        t, f = f"feature.{name}", f"feature/{name}"
+        b.conv(f"{t}.conv1.conv", f"{f}/conv1/conv", deconv=True)
+        b.conv(f"{t}.conv2.conv1", f"{f}/fuse1")
+        b.conv(f"{t}.conv2.conv2", f"{f}/fuse2")
+    b.raw_conv("feature.conv4", "feature/conv4")
+    b.conv("stem_2.0.conv", "stem_2a/conv")
+    b.conv("stem_2.1", "stem_2b")
+    _conv2x(b, "spx_2_gru", "spx_2_gru", bn=False)
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    b.raw_conv("proj_cmb", "proj_cmb")
+    b.raw_conv("corr_stem.0", "corr_stem0")
+    b.conv("corr_stem.1.conv", "corr_stem1/conv")
+    b.bn("corr_stem.1.bn", "corr_stem1/conv")
+    _fs_res3d(b, "corr_stem.2", "corr_stem2")
+    _fs_res3d(b, "corr_stem.3", "corr_stem3")
+    _feature_att(b, "corr_feature_att", "corr_feature_att")
+    _fs_hourglass(b, "cost_agg", "cost_agg")
+    b.conv("classifier.0.conv", "classifier0/conv")
+    b.bn("classifier.0.bn", "classifier0/conv")
+    _fs_res3d(b, "classifier.1", "classifier1")
+    b.raw_conv("classifier.2", "classifier2")
+    b.raw_conv("cnet.conv04.0", "cnet/conv04_net")
+    b.raw_conv("cnet.conv04.1", "cnet/conv04_inp")
+    b.raw_conv("cam.fc.0", "cam/fc1")
+    b.raw_conv("cam.fc.2", "cam/fc2")
+    b.raw_conv("sam.samconv", "sam/samconv")
+    b.drop("context_zqr_convs")           # instantiated, never called
+    up = "gru_loop/update_block"
+    for k in ("convc1", "convc2", "convd1", "convd2", "conv"):
+        b.raw_conv(f"update_block.encoder.{k}", f"{up}/encoder/{k}")
+    _fs_selective_gru(b, "update_block.gru04", f"{up}/gru04")
+    b.raw_conv("update_block.disp_head.conv.0", f"{up}/disp_head/conv_in")
+    _fs_edgenext_plain(b, "update_block.disp_head.conv.2", f"{up}/disp_head/enc0")
+    _fs_edgenext_plain(b, "update_block.disp_head.conv.3", f"{up}/disp_head/enc1")
+    b.raw_conv("update_block.disp_head.conv.4", f"{up}/disp_head/conv_out")
+    b.raw_conv("update_block.mask.0", f"{up}/mask0")
+    b.raw_conv("update_block.mask.2", f"{up}/mask1")
+    b.drop("dx")   # registered lookup-offset buffer, not a parameter
+    return b.finish()
+
+
+def _dpt_pyramid_decoder(b: TreeBuilder, tpre: str, fpre: str):
+    """DPTHead_decoder (monster/depth_anything_v2/dpt.py:167-306): same
+    reassembly as DPTHead but no output convs; refinenet4's resConfUnit1
+    exists unused (single-input call)."""
+    for i in range(4):
+        b.raw_conv(f"{tpre}.projects.{i}", f"{fpre}/project{i}")
+    b.raw_conv(f"{tpre}.resize_layers.0", f"{fpre}/resize0", deconv=True)
+    b.raw_conv(f"{tpre}.resize_layers.1", f"{fpre}/resize1", deconv=True)
+    b.raw_conv(f"{tpre}.resize_layers.3", f"{fpre}/resize3")
+    for i in range(1, 5):
+        b.raw_conv(f"{tpre}.scratch.layer{i}_rn", f"{fpre}/layer{i}_rn")
+    for k in range(1, 5):
+        rp, fp = f"{tpre}.scratch.refinenet{k}", f"{fpre}/refinenet{k}"
+        for u, fu in (("resConfUnit1", "rcu1"), ("resConfUnit2", "rcu2")):
+            if k == 4 and u == "resConfUnit1":
+                b.drop(f"{rp}.{u}.")
+                continue
+            b.raw_conv(f"{rp}.{u}.conv1", f"{fp}/{fu}/conv1")
+            b.raw_conv(f"{rp}.{u}.conv2", f"{fp}/{fu}/conv2")
+        b.raw_conv(f"{rp}.out_conv", f"{fp}/out_conv")
+
+
+def _monster_mix_update(b: TreeBuilder, tpre: str, fpre: str):
+    """BasicMultiUpdateBlock_mix2 (monster/update.py:484-566)."""
+    enc = f"{tpre}.encoder"
+    for k in ("convc1", "convc2", "convc1_mono", "convc2_mono", "convd1",
+              "convd2", "convd1_mono", "convd2_mono", "conv", "conv_mono"):
+        b.raw_conv(f"{enc}.{k}", f"{fpre}/encoder/{k}")
+    for g in ("gru04", "gru08", "gru16"):
+        for k in ("convz", "convr", "convq"):
+            b.raw_conv(f"{tpre}.{g}.{k}", f"{fpre}/{g}/{k}")
+    b.raw_conv(f"{tpre}.disp_head.conv1", f"{fpre}/disp_head/conv1")
+    b.raw_conv(f"{tpre}.disp_head.conv2", f"{fpre}/disp_head/conv2")
+    b.raw_conv(f"{tpre}.mask_feat_4.0", f"{fpre}/mask_feat_4")
+
+
+def _monster_conv2x_now(b: TreeBuilder, tpre: str, fpre: str,
+                        deconv: bool = False):
+    """Conv2x_now (monster/refinement.py:16-53): BasicConv_now pair."""
+    b.conv(f"{tpre}.conv1.conv", f"{fpre}/conv1", deconv=deconv)
+    b.bn(f"{tpre}.conv1.bn", f"{fpre}/conv1")
+    b.conv(f"{tpre}.conv2.conv", f"{fpre}/conv2")
+    b.bn(f"{tpre}.conv2.bn", f"{fpre}/conv2")
+
+
+def _monster_simple_unet(b: TreeBuilder, tpre: str, fpre: str):
+    """Simple_UNet (monster/refinement.py:166-222)."""
+    for t in ("conv1a", "conv2a", "conv3a", "conv4a"):
+        b.conv(f"{tpre}.{t}.conv", f"{fpre}/{t}")
+        b.bn(f"{tpre}.{t}.bn", f"{fpre}/{t}")
+    for t in ("deconv4a", "deconv3a", "deconv2a", "deconv1a",
+              "deconv4b", "deconv3b", "deconv2b", "deconv1b"):
+        _monster_conv2x_now(b, f"{tpre}.{t}", f"{fpre}/{t}", deconv=True)
+    for t in ("conv1b", "conv2b", "conv3b", "conv4b"):
+        _monster_conv2x_now(b, f"{tpre}.{t}", f"{fpre}/{t}")
+
+
+def _monster_remp(b: TreeBuilder, tpre: str = "REMP", fpre: str = "REMP"):
+    """REMP (monster/refinement.py:363-431)."""
+    for t in ("conv1_mono", "conv1_stereo", "conv2_mono", "conv2_stereo"):
+        b.conv(f"{tpre}.{t}.0", f"{fpre}/{t}")
+        b.bn(f"{tpre}.{t}.1", f"{fpre}/{t}")
+    b.conv(f"{tpre}.conv_start.conv", f"{fpre}/conv_start")
+    b.bn(f"{tpre}.conv_start.bn", f"{fpre}/conv_start")
+    _monster_simple_unet(b, f"{tpre}.RefinementBlock", f"{fpre}/unet")
+    b.raw_conv(f"{tpre}.LFE.0", f"{fpre}/lfe1")
+    b.raw_conv(f"{tpre}.LFE.2", f"{fpre}/lfe2")
+    b.raw_conv(f"{tpre}.LMC.0", f"{fpre}/lmc1")
+    b.raw_conv(f"{tpre}.LMC.1", f"{fpre}/lmc2")
+    b.raw_conv(f"{tpre}.LMC.3", f"{fpre}/lmc3")
+    b.raw_conv(f"{tpre}.final_conv", f"{fpre}/final_conv")
+
+
+def convert_monster(sd: Dict[str, np.ndarray], vit_depth: int = 12) -> Dict:
+    """Reference MonSter (monster/monster.py:216-540) → flax MonSter."""
+    b = TreeBuilder(sd)
+    # frozen mono branch + trainable pyramid decoder
+    _dino_vit(b, "mono_encoder", "mono/mono_encoder", vit_depth)
+    _dpt_head(b, "mono_decoder", "mono/mono_decoder")
+    b.drop("mono_decoder.scratch.refinenet4.resConfUnit1.")
+    _dpt_pyramid_decoder(b, "feat_decoder", "mono/feat_decoder")
+    # feature transfer into the stereo pyramid + context
+    ft = "feat_transfer"
+    for t, f in (("conv4x", "conv4x"), ("conv8x", "conv8x"),
+                 ("conv16x", "conv16x"), ("conv32x", "conv32x")):
+        b.conv(f"{ft}.{t}.0", f"{ft}/{f}")
+    for t, f in (("conv_up_32x", "up32"), ("conv_up_16x", "up16"),
+                 ("conv_up_8x", "up8")):
+        b.raw_conv(f"{ft}.{t}", f"{ft}/{f}/deconv", deconv=True)
+    for t, f in (("res_16x", "res16x"), ("res_8x", "res8x"),
+                 ("res_4x", "res4x")):
+        b.raw_conv(f"{ft}.{t}", f"{ft}/{f}")
+    for t in ("res_16x", "res_8x", "res_4x"):
+        b.raw_conv(f"feat_transfer_cnet.{t}", f"feat_transfer_cnet/{t}")
+    # stems
+    for s in ("stem_2", "stem_4", "stem_8", "stem_16"):
+        b.conv(f"{s}.0.conv", f"{s}a/conv")
+        b.conv(f"{s}.1", f"{s}b")
+    # superpixel heads (init-disp supervision + GRU upsample)
+    b.conv("spx_4.0.conv", "spx_4a/conv")
+    b.conv("spx_4.1", "spx_4b")
+    _conv2x(b, "spx_2", "spx_2", bn=False)
+    b.raw_conv("spx.0", "spx", deconv=True)
+    _conv2x(b, "spx_2_gru", "spx_2_gru", bn=True)
+    b.raw_conv("spx_gru.0", "spx_gru", deconv=True)
+    # matching + volume + aggregation
+    b.conv("conv.conv", "conv/conv")
+    b.raw_conv("desc", "desc")
+    b.conv("corr_stem.conv", "corr_stem/conv")
+    b.bn("corr_stem.bn", "corr_stem/conv")
+    _feature_att(b, "corr_feature_att", "corr_feature_att")
+    # hourglass: flax MonsterHourglass uses bare ConvBlocks (no BasicConvBN
+    # nesting like IGEV's GeoHourglass), so paths are one level shallower
+    hg = "cost_agg"
+    for t, f in (("conv1.0", "conv1a"), ("conv1.1", "conv1b"),
+                 ("conv2.0", "conv2a"), ("conv2.1", "conv2b"),
+                 ("conv3.0", "conv3a"), ("conv3.1", "conv3b"),
+                 ("agg_0.0", "agg0a"), ("agg_0.1", "agg0b"),
+                 ("agg_0.2", "agg0c"), ("agg_1.0", "agg1a"),
+                 ("agg_1.1", "agg1b"), ("agg_1.2", "agg1c")):
+        b.conv(f"{hg}.{t}.conv", f"{hg}/{f}")
+        b.bn(f"{hg}.{t}.bn", f"{hg}/{f}")
+    for t in ("conv3_up", "conv2_up"):
+        b.conv(f"{hg}.{t}.conv", f"{hg}/{t}", deconv=True)
+        b.bn(f"{hg}.{t}.bn", f"{hg}/{t}")
+    b.conv(f"{hg}.conv1_up.conv", f"{hg}/conv1_up", deconv=True)
+    b.drop(f"{hg}.conv1_up.bn")   # bn=False — instantiated, unused
+    for t, f in (("feature_att_8", "att8"), ("feature_att_16", "att16"),
+                 ("feature_att_32", "att32"),
+                 ("feature_att_up_16", "att_up16"),
+                 ("feature_att_up_8", "att_up8")):
+        _feature_att(b, f"{hg}.{t}", f"{hg}/{f}")
+    b.raw_conv("classifier", "classifier")
+    # GRU machinery: phase A + twin mix blocks
+    for i in range(3):
+        b.raw_conv(f"context_zqr_convs.{i}", f"context_zqr{i}")
+    _update_block(b, "update_block", "gru_loop/update_block")
+    _monster_mix_update(b, "update_block_mix_stereo",
+                        "gru_loop_mix/update_mix_stereo")
+    _monster_mix_update(b, "update_block_mix_mono",
+                        "gru_loop_mix/update_mix_mono")
+    _monster_remp(b)
+    return b.finish()
+
+
 def convert_depth_anything(sd: Dict[str, np.ndarray], depth: int = 12) -> Dict:
     """Standalone DepthAnythingV2 checkpoint (keys ``pretrained.*`` /
     ``depth_head.*``) → backbones/dpt.DepthAnythingV2 variables (trunk
@@ -1823,6 +2017,8 @@ CONVERTERS: Dict[str, Callable[[Dict[str, np.ndarray]], Dict]] = {
     "EdgeNeXt": convert_edgenext,
     "DepthAnything": convert_depth_anything,
     "FoundationStereo": convert_foundationstereo,
+    "MonSter": convert_monster,
+    "FastFoundationStereo": convert_fastfoundationstereo,
 }
 
 

@@ -49,7 +49,9 @@ class BasicBlock(nn.Module):
 
 
 def install():
-    """Expose as `torchvision.models.resnet` for reference imports."""
+    """Expose as `torchvision.models.resnet` + `torchvision.transforms`
+    (monster/depth_anything_v2/dpt.py:5 imports Compose for its standalone
+    image API, unused by the model forward) for reference imports."""
     if "torchvision" in sys.modules:
         return sys.modules["torchvision"]
     tv = types.ModuleType("torchvision")
@@ -58,7 +60,21 @@ def install():
     resnet.BasicBlock = BasicBlock
     models.resnet = resnet
     tv.models = models
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, ts):
+            self.transforms = ts
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    transforms.Compose = Compose
+    tv.transforms = transforms
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models.resnet"] = resnet
+    sys.modules["torchvision.transforms"] = transforms
     return tv

@@ -862,3 +862,135 @@ def test_foundationstereo_forward_parity():
     exp = _run_ref(tmodel, left, right)
     got = _run_ours(ours, variables, left, right)
     np.testing.assert_allclose(got, exp, atol=1e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# MonSter (monster/monster.py)
+# ---------------------------------------------------------------------------
+
+def _load_monster_ref(tmp_path):
+    """Load reference MonSter: vendored DAv2 (no torch.hub), fakes for
+    flash_attn/cv-libs; the hardcoded DepthAnythingV2 checkpoint load is
+    satisfied by saving a random-init state_dict to a temp file."""
+    import torch
+
+    import fake_foundation_deps
+    import fake_timm
+    import fake_torchvision
+
+    fake_foundation_deps.install()
+    fake_timm.install()
+    fake_torchvision.install()
+    dpt_mod = load_ref_module(
+        "stereo.modeling.models.monster.depth_anything_v2.dpt")
+    cfg = dict(encoder="vits", features=64, out_channels=[48, 96, 192, 384])
+    torch.manual_seed(7)
+    da = dpt_mod.DepthAnythingV2(**cfg)
+    ckpt = str(tmp_path / "dav2_vits_random.pth")
+    torch.save(da.state_dict(), ckpt)
+    mod = load_ref_module("stereo.modeling.models.monster.monster")
+    return mod, ckpt
+
+
+def test_monster_forward_parity(tmp_path):
+    """Full MonSter (vits): frozen DAv2 mono branch + trainable pyramid
+    decoder, feature-transfer pyramid, IGEV-style volume/hourglass, phase-A
+    GRUs, scale-shift mono alignment, twin mix-GRU mutual refinement, REMP."""
+    from openstereo_tpu.models.monster import MonSter
+
+    ref_mod, ckpt = _load_monster_ref(tmp_path)
+    args = NS(hidden_dims=[128, 128, 128], n_downsample=2, max_disp=64,
+              n_gru_layers=3, corr_levels=2, corr_radius=4, encoder="vits",
+              train_iters=9, valid_iters=9, mixed_precision=False,
+              depth_anything_path=ckpt)
+    args["get"] = args.get
+    tmodel = ref_mod.MonSter(args)
+    _randomize_bn_stats(tmodel)
+    # the reference pins its scale-shift solve to f32 (monster.py:425-427
+    # .to(torch.float32)) which clashes with the f64 eye() under the f64
+    # oracle — run the solve in the default dtype instead
+    import torch as _torch
+    _css = ref_mod.compute_scale_shift
+    ref_mod.compute_scale_shift = lambda m, d, mask=None: _css(
+        m.to(_torch.get_default_dtype()), d.to(_torch.get_default_dtype()),
+        mask)
+
+    variables = convert("MonSter",
+                        {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = MonSter(max_disp=64, encoder="vits", train_iters=9, valid_iters=9,
+                   dtype=jnp.float64)
+
+    rng = np.random.RandomState(43)
+    left = rng.rand(1, 64, 96, 3).astype(np.float32)
+    right = rng.rand(1, 64, 96, 3).astype(np.float32)
+    _check_tree_matches(variables, ours, left, train=True)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# FastFoundationStereo (fast_foundationstereo/core/foundation_stereo.py)
+# ---------------------------------------------------------------------------
+
+def _load_fast_foundation_ref():
+    """The fast_foundationstereo files import bare `core.*` / `Utils`
+    (its trainer inserts its own dir on sys.path — trainer.py does the same
+    hack); mirror that, with the usual offline fakes installed."""
+    import importlib
+    import sys
+
+    import fake_foundation_deps
+    import fake_timm
+    import fake_torchvision
+
+    fake_foundation_deps.install()
+    fake_timm.install()
+    fake_torchvision.install()
+    ffs_dir = "/root/reference/stereo/modeling/models/fast_foundationstereo"
+    # 'core'/'Utils' are generic top-level names — keep them scoped to this
+    # loader by removing any prior bindings first
+    for m in [k for k in sys.modules
+              if k == "core" or k.startswith("core.") or k == "Utils"]:
+        del sys.modules[m]
+    sys.path.insert(0, ffs_dir)
+    try:
+        mod = importlib.import_module("core.foundation_stereo")
+    finally:
+        sys.path.remove(ffs_dir)
+    return mod
+
+
+def test_fastfoundationstereo_forward_parity():
+    """Full FastFoundationStereo: EdgeNeXt-only features (distilled student),
+    hybrid volume, AHCF hourglass, single-scale selective GRU."""
+    from openstereo_tpu.models.fastfoundationstereo import FastFoundationStereo
+
+    ref_mod = _load_fast_foundation_ref()
+    args = NS(hidden_dims=[128], n_downsample=2, max_disp=64, n_gru_layers=1,
+              corr_levels=2, corr_radius=4, vit_size="vitl", train_iters=3,
+              valid_iters=3, mixed_precision=False, low_memory=False,
+              optimize_build_volume="pytorch1", normalize=True,
+              slow_fast_gru=False)
+    args["get"] = args.get
+    tmodel = ref_mod.FastFoundationStereo(args)
+    # the class pins `self.dtype = torch.float32` and casts intermediates
+    # to it (fast foundation_stereo.py:133, :254-255) — repoint for f64
+    import torch as _torch
+    tmodel.dtype = _torch.float64
+    _randomize_bn_stats(tmodel)
+
+    variables = convert(
+        "FastFoundationStereo",
+        {k: v.numpy() for k, v in tmodel.state_dict().items()})
+    ours = FastFoundationStereo(max_disp=64, vit_size="vitl", n_gru_layers=1,
+                                train_iters=3, valid_iters=3,
+                                dtype=jnp.float64)
+
+    rng = np.random.RandomState(47)
+    left = rng.rand(1, 64, 96, 3).astype(np.float32)
+    right = rng.rand(1, 64, 96, 3).astype(np.float32)
+    _check_tree_matches(variables, ours, left)
+    exp = _run_ref(tmodel, left, right)
+    got = _run_ours(ours, variables, left, right)
+    np.testing.assert_allclose(got, exp, atol=1e-5, rtol=0)
