@@ -16,7 +16,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # incl. CFNet's cfnet_sceneflow_part1_uniform.yaml:19), but FADNet and
 # AANet pad to 576x960 in their reference cfgs (fadnet_sceneflow.yaml:18,
 # aanet_sceneflow.yaml:19 — FADNet's 1/64 pyramid and AANet's stride-3
-# stem cannot produce aligned skip shapes at 544)
+# stem cannot produce aligned skip shapes at 544). The optional 4th tuple
+# element pads the input up to that height INSIDE the timed jit (RightTopPad
+# edge-replication on top, crop back after) so those two families also get a
+# strictly protocol-comparable 544x960 row: the honest cost of serving a
+# 544x960 frame through an architecture that must compute at 576.
 ZOO = {
     "LightStereo-S": ("LightStereo", {"aggregation_blocks": (1, 2, 4), "expanse_ratio": 4}, (544, 960)),
     "LightStereo-M": ("LightStereo", {"aggregation_blocks": (4, 8, 16), "expanse_ratio": 4}, (544, 960)),
@@ -50,6 +54,8 @@ ZOO = {
     "NMRF": ("NMRF", {"model_type": "swin", "max_disp": 320}, (544, 960)),
     "NMRF-res": ("NMRF", {"model_type": "resnet", "max_disp": 320}, (544, 960)),
     "IINet": ("IINet", {}, (544, 960)),
+    "FADNet@544": ("FADNet", {}, (544, 960), 576),
+    "AANet@544": ("AANet", {}, (544, 960), 576),
 }
 
 
@@ -92,7 +98,8 @@ def main():
             results = json.load(f)
 
     for name in args.models:
-        cls_name, kwargs, (h, w) = ZOO[name]
+        cls_name, kwargs, (h, w), *rest = ZOO[name]
+        pad_h = rest[0] if rest else None
         try:
             kw = {"max_disp": 192, "dtype": jnp.bfloat16, **kwargs}
             model = MODELS.get(cls_name)(**kw)
@@ -101,9 +108,16 @@ def main():
                 "left": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
                 "right": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
             }
+            def divis_pad(b):
+                # RightTopPad semantics: replicate rows onto the top
+                return {k: jnp.pad(x, ((0, 0), (pad_h - h, 0), (0, 0), (0, 0)),
+                                   mode="edge")
+                        for k, x in b.items()} if pad_h else b
+
             t0 = time.perf_counter()
             variables = jax.jit(
-                lambda b: model.init(jax.random.key(0), b, train=False))(data)
+                lambda b: model.init(jax.random.key(0), divis_pad(b),
+                                     train=False))(data)
             n_params = sum(int(np.prod(x.shape))
                            for x in jax.tree.leaves(variables["params"]))
             # variables as an argument, not a closure: closed-over arrays
@@ -112,7 +126,11 @@ def main():
             # AOT lower+compile once: the compiled executable serves both the
             # timing loop and the roofline cost analysis (a second jit-trace
             # would recompile through the remote tunnel).
-            fwd_v = jax.jit(lambda v, b: model.apply(v, b, train=False)["disp_pred"])
+            def _apply(v, b):
+                out = model.apply(v, divis_pad(b), train=False)["disp_pred"]
+                return out[:, pad_h - h:] if pad_h else out
+
+            fwd_v = jax.jit(_apply)
             compiled = fwd_v.lower(variables, data).compile()
             fwd = lambda b: compiled(variables, b)  # noqa: E731
             # force a full device round-trip: on remote-attached TPUs
