@@ -78,7 +78,10 @@ def main():
 
     flagship = LightStereo(max_disp=192, aggregation_blocks=(1, 2, 4),
                            expanse_ratio=4, left_att=True, dtype=jnp.bfloat16)
-    fps = _bench_model(flagship, groups=5, reps=25)
+    # groups tightened 5→9 in r4: pure median-of-groups variance reduction
+    # (reps unchanged, so per-frame overhead amortization — and therefore
+    # comparability with the stored baseline — is untouched)
+    fps = _bench_model(flagship, groups=9, reps=25)
 
     psm = PSMNet(max_disp=192, dtype=jnp.bfloat16)
     psm_fps = _bench_model(psm, groups=3, reps=10)
