@@ -20,11 +20,12 @@ taps contribute zero.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax.numpy as jnp
 
-from .sampler import bilinear_sampler
+from .sampler import bilinear_sampler, bilinear_sampler_mxu
 
 
 def ms_deform_attn(values: Sequence[jnp.ndarray],
@@ -49,7 +50,14 @@ def ms_deform_attn(values: Sequence[jnp.ndarray],
         py = loc[..., 1] * h - 0.5
         coords = jnp.stack([px, py], axis=-1)           # [B, Lq, M, P, 2]
         coords = jnp.moveaxis(coords, 2, 1).reshape(b * m_, lq * p, 2)
-        samp = bilinear_sampler(v, coords)              # [B·M, Lq·P, D]
+        # per-head D is narrow (8 with deform_ratio 0.5) — far below the
+        # 128-lane gather row width, so the separable hat-matrix MXU form
+        # (bilinear_sampler_mxu) replaces the gathers with dense matmuls.
+        # OPENSTEREO_MSDA=gather restores the 4-tap gather path.
+        if os.environ.get("OPENSTEREO_MSDA", "mxu") == "mxu":
+            samp = bilinear_sampler_mxu(v, coords)      # [B·M, Lq·P, D]
+        else:
+            samp = bilinear_sampler(v, coords)          # [B·M, Lq·P, D]
         samp = samp.reshape(b, m_, lq, p, d)
         wgt = jnp.moveaxis(attention_weights[:, :, :, l], 2, 1)  # [B, M, Lq, P]
         contrib = jnp.einsum("bmqpd,bmqp->bqmd", samp,

@@ -51,6 +51,65 @@ def bilinear_sampler(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def bilinear_sampler_mxu(img: jnp.ndarray, coords: jnp.ndarray,
+                         chunk: int = 4096) -> jnp.ndarray:
+    """`bilinear_sampler` re-expressed as two MXU contractions.
+
+    Bilinear weights are rank-1 separable — w(y,x) = wy(y)·wx(x), and each
+    tap's in-frame validity factors the same way — so sampling [B,Q] points
+    from [B,H,W,C] is a row-mix hat-matrix [B,Q,H] against V=[B,H,W·C]
+    followed by a per-query column mix [B,Q,W]. On TPU this replaces the
+    dynamic gathers (whose row width C may sit far below the 128-lane
+    register) with dense matmuls — the same trick as the IGEV hat-matrix
+    lookups (docs/BENCHMARKS.md). Chunked over Q to bound the [B,chunk,W·C]
+    intermediate. Semantics identical to `bilinear_sampler`
+    (align_corners=True pixel coords, zero outside the frame).
+
+    Worth it when Q·H FLOPs beat pathological gather latency — profitable
+    for MSDA's 8-wide heads (ops/msda.py), not for wide-C IGEV lookups.
+    """
+    from jax import lax, nn as jnn
+
+    b, h, w, c = img.shape
+    q = coords.shape[1]
+    n_chunks = -(-q // chunk)
+    qp = n_chunks * chunk
+    # pad queries with far out-of-frame coords → all-zero hat rows
+    coords_p = jnp.pad(coords.astype(jnp.float32),
+                       ((0, 0), (0, qp - q), (0, 0)), constant_values=-9.0)
+
+    def hat(u, n):
+        """[B,chunk] fractional coords → [B,chunk,n] two-tap hat matrix."""
+        u0f = jnp.floor(u)
+        fu = u - u0f
+        u0 = u0f.astype(jnp.int32)
+        w0 = jnp.where((u0 >= 0) & (u0 < n), 1.0 - fu, 0.0)
+        w1 = jnp.where((u0 + 1 >= 0) & (u0 + 1 < n), fu, 0.0)
+        m = (jnn.one_hot(jnp.clip(u0, 0, n - 1), n, dtype=img.dtype)
+             * w0[..., None].astype(img.dtype))
+        return m + (jnn.one_hot(jnp.clip(u0 + 1, 0, n - 1), n, dtype=img.dtype)
+                    * w1[..., None].astype(img.dtype))
+
+    v_flat = img.reshape(b, h, w * c)
+    xs = jnp.moveaxis(coords_p[..., 0].reshape(b, n_chunks, chunk), 1, 0)
+    ys = jnp.moveaxis(coords_p[..., 1].reshape(b, n_chunks, chunk), 1, 0)
+
+    def per_chunk(xy):
+        xq, yq = xy
+        rows = hat(yq, h)                                    # [B,chunk,H]
+        cols = hat(xq, w)                                    # [B,chunk,W]
+        t = jnp.einsum("bqh,bhE->bqE", rows, v_flat,
+                       preferred_element_type=img.dtype)
+        t = t.reshape(b, chunk, w, c)
+        return jnp.einsum("bqw,bqwc->bqc", cols, t)
+
+    if n_chunks == 1:
+        out = per_chunk((xs[0], ys[0]))[None]
+    else:
+        out = lax.map(per_chunk, (xs, ys))                   # [n,B,chunk,C]
+    return jnp.moveaxis(out, 0, 1).reshape(b, qp, c)[:, :q]
+
+
 def sample_along_w(y: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Linear-interp sample of `y` [B,H,W,C] at x-positions `pos` [B,D,H,W].
 

@@ -98,3 +98,47 @@ def test_superpixel_downsample_partial_blocks_and_empty():
     exp = superpixel_downsample_np(disp, label)
     assert got.shape == (1, 2, 2, 4)
     np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_bilinear_sampler_mxu_matches_gather():
+    """The separable hat-matrix MXU form of bilinear sampling must be
+    bit-compatible (f32 tolerance) with the 4-tap gather form, including
+    out-of-frame zeroing and Q not divisible by the chunk size."""
+    from openstereo_tpu.ops.sampler import bilinear_sampler, bilinear_sampler_mxu
+
+    rng = np.random.RandomState(7)
+    b, h, w, c = 3, 13, 21, 5
+    img = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    q = 137  # not a multiple of any chunk
+    # coords spanning in-frame, boundary, and far out-of-frame
+    coords = rng.uniform(-4, max(h, w) + 4, size=(b, q, 2)).astype(np.float32)
+    coords[:, :5] = [[0.0, 0.0]] * 5  # exact corners
+    coords[:, 5] = [w - 1, h - 1]
+    coords = jnp.asarray(coords)
+
+    ref = np.asarray(bilinear_sampler(img, coords))
+    for chunk in (32, 64, 4096):
+        got = np.asarray(bilinear_sampler_mxu(img, coords, chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ms_deform_attn_gather_and_mxu_paths_agree(monkeypatch):
+    """Both OPENSTEREO_MSDA paths through ms_deform_attn must agree."""
+    import os
+
+    rng = np.random.RandomState(11)
+    b, m, d, p = 2, 3, 4, 4
+    values = [jnp.asarray(rng.randn(b, hh, ww, m, d).astype(np.float32))
+              for hh, ww in ((12, 18), (6, 9))]
+    lq = 10
+    locs = jnp.asarray(rng.uniform(-0.1, 1.1,
+                                   size=(b, lq, m, 2, p, 2)).astype(np.float32))
+    wgt = rng.rand(b, lq, m, 2, p).astype(np.float32)
+    wgt /= wgt.sum(axis=(-1, -2), keepdims=True)
+    wgt = jnp.asarray(wgt)
+
+    monkeypatch.setenv("OPENSTEREO_MSDA", "gather")
+    ref = np.asarray(ms_deform_attn(values, locs, wgt))
+    monkeypatch.setenv("OPENSTEREO_MSDA", "mxu")
+    got = np.asarray(ms_deform_attn(values, locs, wgt))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
