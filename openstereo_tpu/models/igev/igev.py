@@ -171,6 +171,11 @@ class IGEV(nn.Module):
     # lookup residuals alone are ~1 GB/iter at the reference 320x736 crop,
     # overflowing the 16 GB chip at batch 4 x 22 iters)
     remat: bool = False
+    # MODEL.SCAN_UNROLL: lax.scan unroll factor for the GRU loop — lets XLA
+    # fuse across iterations to amortize per-step dispatch of the many
+    # small update ops (numerically identity; costs compile time and
+    # code size, so off by default)
+    scan_unroll: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -274,6 +279,7 @@ class IGEV(nn.Module):
             split_rngs={"params": False},
             in_axes=nn.broadcast,
             length=iters,
+            unroll=self.scan_unroll,
         )
         loop = ScannedLoop(
             hidden_dims=tuple(self.hidden_dims)[::-1],
