@@ -47,7 +47,9 @@ ZOO = {
     # unobtainable in this zero-egress image; cfgs pin vits)
     "FoundationStereo": ("FoundationStereo", {"vit_size": "vits",
                                               "valid_iters": 32}, (544, 960)),
-    "FastFoundationStereo": ("FastFoundationStereo", {"valid_iters": 32},
+    # the real-time student evals at 8 iters in its reference cfg
+    # (fast_foundationstereo/ffstereo.yaml:13), unlike the 32-iter parents
+    "FastFoundationStereo": ("FastFoundationStereo", {"valid_iters": 8},
                              (544, 960)),
     "MonSter": ("MonSter", {"encoder": "vits", "valid_iters": 32,
                             "mix_iters": 2}, (544, 960)),
