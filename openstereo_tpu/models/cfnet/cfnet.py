@@ -19,7 +19,7 @@ TPU-native re-design of the reference CFNet
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Callable, Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -48,12 +48,13 @@ class MishResBlock(nn.Module):
 
     features: int
     strides: int = 1
+    act: Callable = mish
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         y = ConvBlock(self.features, 3, strides=self.strides, norm="batch",
-                      act=mish, dtype=self.dtype, name="conv1")(x, train=train)
+                      act=self.act, dtype=self.dtype, name="conv1")(x, train=train)
         y = ConvBlock(self.features, 3, norm="batch", dtype=self.dtype,
                       name="conv2")(y, train=train)
         if self.strides != 1 or x.shape[-1] != self.features:
@@ -68,20 +69,21 @@ class CFFeatures(nn.Module):
     (reference cfnet.py:7-168)."""
 
     concat_channels: int = 12
+    act: Callable = mish
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, jnp.ndarray]:
         cb = lambda f, k, s, name: ConvBlock(  # noqa: E731
-            f, k, strides=s, norm="batch", act=mish, dtype=self.dtype, name=name)
+            f, k, strides=s, norm="batch", act=self.act, dtype=self.dtype, name=name)
         y = cb(32, 3, 2, "firstconv0")(x, train=train)
         y = cb(32, 3, 1, "firstconv1")(y, train=train)
         y = cb(32, 3, 1, "firstconv2")(y, train=train)
-        l2 = MishResBlock(64, dtype=self.dtype, name="layer2")(y, train=train)     # 1/2
-        l3 = MishResBlock(128, strides=2, dtype=self.dtype, name="layer3")(l2, train=train)
-        l4 = MishResBlock(192, strides=2, dtype=self.dtype, name="layer4")(l3, train=train)
-        l5 = MishResBlock(256, strides=2, dtype=self.dtype, name="layer5")(l4, train=train)
-        l6 = MishResBlock(512, strides=2, dtype=self.dtype, name="layer6")(l5, train=train)
+        l2 = MishResBlock(64, act=self.act, dtype=self.dtype, name="layer2")(y, train=train)     # 1/2
+        l3 = MishResBlock(128, strides=2, act=self.act, dtype=self.dtype, name="layer3")(l2, train=train)
+        l4 = MishResBlock(192, strides=2, act=self.act, dtype=self.dtype, name="layer4")(l3, train=train)
+        l5 = MishResBlock(256, strides=2, act=self.act, dtype=self.dtype, name="layer5")(l4, train=train)
+        l6 = MishResBlock(512, strides=2, act=self.act, dtype=self.dtype, name="layer6")(l5, train=train)
 
         # PSP pooling, sum fusion (reference submodule.py:9-96, icnet mode)
         h6, w6 = l6.shape[1], l6.shape[2]
@@ -94,7 +96,7 @@ class CFFeatures(nn.Module):
             p = cb(512, 1, 1, f"psp{i}")(p, train=train)
             p = jax.image.resize(p, l6.shape, method="bilinear")
             pp = pp + 0.25 * p
-        l6 = mish(pp / 2.0)  # reference submodule.py:60-63 (sum fusion)
+        l6 = self.act(pp / 2.0)  # reference submodule.py:60-63 (sum fusion)
 
         def up2(v, f, name):
             v = jax.image.resize(v, (v.shape[0], v.shape[1] * 2, v.shape[2] * 2, v.shape[3]),
@@ -128,13 +130,14 @@ class HourglassUp(nn.Module):
     """Hourglass with mid-scale volume injection (reference cfnet.py:170-220)."""
 
     features: int
+    act: Callable = mish
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, feat4, feat5, *, train: bool = False):
         c = self.features
         cb3 = lambda f, k, s, name, **kw: ConvBlock(  # noqa: E731
-            f, k, strides=s, norm="batch", act=mish, ndim=3, dtype=self.dtype,
+            f, k, strides=s, norm="batch", act=self.act, ndim=3, dtype=self.dtype,
             name=name, **kw)
         # torch-symmetric p=1 (XLA SAME pads (0,1) for stride 2 — half-pixel
         # shift vs the reference; see layers.ConvBlock)
@@ -153,37 +156,38 @@ class HourglassUp(nn.Module):
                           name="conv8")(conv4, train=train)
         redir2 = ConvBlock(c * 2, 1, norm="batch", ndim=3, dtype=self.dtype,
                            name="redir2")(conv2, train=train)
-        conv8 = mish(up8 + redir2)
+        conv8 = self.act(up8 + redir2)
         up9 = DeconvBlock(c, 3, 2, norm="batch", ndim=3, dtype=self.dtype,
                           name="conv9")(conv8, train=train)
         redir1 = ConvBlock(c, 1, norm="batch", ndim=3, dtype=self.dtype,
                            name="redir1")(x, train=train)
-        return mish(up9 + redir1)
+        return self.act(up9 + redir1)
 
 
 class MishHourglass(nn.Module):
     """Redir hourglass with Mish (reference cfnet.py:222-263)."""
 
     features: int
+    act: Callable = mish
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         c = self.features
         cb3 = lambda f, s, name: ConvBlock(  # noqa: E731
-            f, 3, strides=s, norm="batch", act=mish, ndim=3, dtype=self.dtype, name=name)
+            f, 3, strides=s, norm="batch", act=self.act, ndim=3, dtype=self.dtype, name=name)
         conv2 = cb3(c * 2, 1, "conv2")(cb3(c * 2, 2, "conv1")(x, train=train), train=train)
         conv4 = cb3(c * 4, 1, "conv4")(cb3(c * 4, 2, "conv3")(conv2, train=train), train=train)
         up5 = DeconvBlock(c * 2, 3, 2, norm="batch", ndim=3, dtype=self.dtype,
                           name="conv5")(conv4, train=train)
         redir2 = ConvBlock(c * 2, 1, norm="batch", ndim=3, dtype=self.dtype,
                            name="redir2")(conv2, train=train)
-        conv5 = mish(up5 + redir2)
+        conv5 = self.act(up5 + redir2)
         up6 = DeconvBlock(c, 3, 2, norm="batch", ndim=3, dtype=self.dtype,
                           name="conv6")(conv5, train=train)
         redir1 = ConvBlock(c, 1, norm="batch", ndim=3, dtype=self.dtype,
                            name="redir1")(x, train=train)
-        return mish(up6 + redir1)
+        return self.act(up6 + redir1)
 
 
 def warped_volumes(gw_l, gw_r, cat_l, cat_r, samples, num_groups):
@@ -210,14 +214,19 @@ class CFNet(nn.Module):
     concat_channels: int = 12
     sample_count_s3: int = 14
     sample_count_s2: int = 10
+    # REPLACE_MISH: true — the reference's part-1 recipe swaps every Mish
+    # for ReLU before training (cfnet.py:687-692); part 2 restores Mish
+    replace_mish: bool = False
     dtype: Any = jnp.float32
     head_weights: Sequence[float] = (0.25, 0.35, 0.5, 0.5, 0.7, 1.0, 1.0, 1.4, 2.0)
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         left = data["left"]
+        act = jax.nn.relu if self.replace_mish else mish
         b, h, w = left.shape[0], left.shape[1], left.shape[2]
-        feats = CFFeatures(self.concat_channels, dtype=self.dtype, name="features")
+        feats = CFFeatures(self.concat_channels, act=act, dtype=self.dtype,
+                           name="features")
         if train:
             fl = feats(left, train=True)
             fr = feats(data["right"], train=True)
@@ -238,7 +247,7 @@ class CFNet(nn.Module):
             build_gwc_volume(fl["gw6"], fr["gw6"], md // 32, self.num_groups),
             build_concat_volume(fl["concat_feature6"], fr["concat_feature6"], md // 32)], -1))
 
-        cb3 = lambda f, name: ConvBlock(f, 3, norm="batch", act=mish, ndim=3,  # noqa: E731
+        cb3 = lambda f, name: ConvBlock(f, 3, norm="batch", act=act, ndim=3,  # noqa: E731
                                         dtype=self.dtype, name=name)
 
         def dres(v, f, name):
@@ -252,9 +261,9 @@ class CFNet(nn.Module):
         cost0_4 = dres(vol4, 32, "dres4")
         cost0_5 = dres(vol5, 64, "dres5")
         cost0_6 = dres(vol6, 64, "dres6")
-        out1_4 = HourglassUp(32, dtype=self.dtype, name="combine1")(
+        out1_4 = HourglassUp(32, act=act, dtype=self.dtype, name="combine1")(
             cost0_4, cost0_5, cost0_6, train=train)
-        out2_4 = MishHourglass(32, dtype=self.dtype, name="dres3")(out1_4, train=train)
+        out2_4 = MishHourglass(32, act=act, dtype=self.dtype, name="dres3")(out1_4, train=train)
 
         def classify(v, f, name):
             v = cb3(f, f"{name}a")(v, train=train)
@@ -298,8 +307,8 @@ class CFNet(nn.Module):
         vol_s3 = warped_volumes(fl["gw3"], fr["gw3"], fl["concat_feature3"],
                                 fr["concat_feature3"], samples_s3, self.num_groups)
         cost0_s3 = dres(vol_s3, 32, "conf_s3")
-        out1_s3 = MishHourglass(32, dtype=self.dtype, name="conf2_s3")(cost0_s3, train=train)
-        out2_s3 = MishHourglass(32, dtype=self.dtype, name="conf3_s3")(out1_s3, train=train)
+        out1_s3 = MishHourglass(32, act=act, dtype=self.dtype, name="conf2_s3")(cost0_s3, train=train)
+        out2_s3 = MishHourglass(32, act=act, dtype=self.dtype, name="conf3_s3")(out1_s3, train=train)
         cost1_s3 = classify(out2_s3, 32, "conf_classif1_s3")[..., 0].astype(head_dtype(self.dtype))
         prob1_s3 = nn.softmax(cost1_s3, axis=1)
         pred1_s3 = jnp.sum(prob1_s3 * samples_s3, axis=1)
@@ -313,8 +322,8 @@ class CFNet(nn.Module):
         vol_s2 = warped_volumes(fl["gw2"], fr["gw2"], fl["concat_feature2"],
                                 fr["concat_feature2"], samples_s2, self.num_groups // 2)
         cost0_s2 = dres(vol_s2, 16, "conf_s2")
-        out1_s2 = MishHourglass(16, dtype=self.dtype, name="conf2_s2")(cost0_s2, train=train)
-        out2_s2 = MishHourglass(16, dtype=self.dtype, name="conf3_s2")(out1_s2, train=train)
+        out1_s2 = MishHourglass(16, act=act, dtype=self.dtype, name="conf2_s2")(cost0_s2, train=train)
+        out2_s2 = MishHourglass(16, act=act, dtype=self.dtype, name="conf3_s2")(out1_s2, train=train)
         cost1_s2 = classify(out2_s2, 16, "conf_classif1_s2")[..., 0].astype(head_dtype(self.dtype))
         prob1_s2 = nn.softmax(cost1_s2, axis=1)
         pred1_s2 = jnp.sum(prob1_s2 * samples_s2, axis=1)

@@ -105,10 +105,14 @@ class MatchingUNet(nn.Module):
         feats = list(enc)
         match = [None] * (self.multiscale + 1)
         for i in range(4, 0, -1):
+            # the up path consumes the ORIGINAL trunk tap enc[i], not the
+            # refined feats[i] written by the previous iteration — the
+            # reference's x_diag = up_conv(enc_output[i]) (networks.py:418);
+            # feats[] only collects the refined in_conv outputs for return
             up = nn.ConvTranspose(num_ch_up[i - 1], (4, 4), strides=(2, 2),
                                   padding="SAME", use_bias=False,
                                   dtype=self.dtype,
-                                  name=f"up_conv{i + 1}")(feats[i])
+                                  name=f"up_conv{i + 1}")(enc[i])
             use_ra = (not train) or (not self.is_mutable_collection("batch_stats"))
             up = nn.BatchNorm(use_running_average=use_ra, momentum=0.9,
                               epsilon=1e-5, dtype=self.dtype,

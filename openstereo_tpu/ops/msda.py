@@ -53,7 +53,10 @@ def ms_deform_attn(values: Sequence[jnp.ndarray],
         # per-head D is narrow (8 with deform_ratio 0.5) — far below the
         # 128-lane gather row width, so the separable hat-matrix MXU form
         # (bilinear_sampler_mxu) replaces the gathers with dense matmuls.
-        # OPENSTEREO_MSDA=gather restores the 4-tap gather path.
+        # OPENSTEREO_MSDA=gather restores the 4-tap gather path.  NOTE:
+        # the env var is read at Python TRACE time — the chosen path is
+        # baked into any jit-compiled executable, so flipping it after a
+        # model has compiled has no effect until the cache key changes.
         if os.environ.get("OPENSTEREO_MSDA", "mxu") == "mxu":
             samp = bilinear_sampler_mxu(v, coords)      # [B·M, Lq·P, D]
         else:

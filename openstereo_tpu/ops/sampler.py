@@ -72,6 +72,9 @@ def bilinear_sampler_mxu(img: jnp.ndarray, coords: jnp.ndarray,
 
     b, h, w, c = img.shape
     q = coords.shape[1]
+    # small-Q callers shouldn't pay a full default chunk of padding: round q
+    # up to the 128-row MXU tile instead and cap the chunk there
+    chunk = min(chunk, -(-q // 128) * 128)
     n_chunks = -(-q // chunk)
     qp = n_chunks * chunk
     # pad queries with far out-of-frame coords → all-zero hat rows

@@ -14,8 +14,10 @@ intentionally absent.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Tuple
 
+import jax
 import optax
 
 from ..config import Config
@@ -73,6 +75,73 @@ def build_schedule(opt_cfg: Config, total_steps: int) -> optax.Schedule:
     return sched
 
 
+def _make_tx(name: str, schedule, wd: float, eps: float,
+             ocfg: Config) -> optax.GradientTransformation:
+    if name == "adamw":
+        return optax.adamw(schedule, weight_decay=wd, eps=eps)
+    if name == "adam":
+        return optax.adam(schedule, eps=eps)
+    if name == "sgd":
+        return optax.sgd(schedule, momentum=float(ocfg.get("MOMENTUM", 0.0)))
+    if name == "rmsprop":
+        return optax.rmsprop(schedule, eps=eps)
+    if name == "lamb":
+        return optax.lamb(schedule, weight_decay=wd, eps=eps)
+    raise ValueError(f"unknown optimizer {ocfg.NAME!r}")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
+def build_param_groups(opt_cfg: Config, schedule, name: str, wd: float,
+                       eps: float) -> Optional[optax.GradientTransformation]:
+    """OPTIMIZATION.PARAM_GROUPS → optax.multi_transform, or None.
+
+    The reference builds its optimizers with per-group lr/weight-decay by
+    iterating named_modules and bucketing params with substring rules
+    (reference stereo/modeling/models/nmrf/build_optimizer.py:10-70:
+    backbone lr×0.1 + wd 1e-5, MSDA sampling_offsets lr×0.1, rpe/norm
+    tables wd 0).  Here the rules live in config as ordered
+    ``{MATCH, LR_SCALE, WEIGHT_DECAY}`` entries: MATCH is a regex searched
+    against the '/'-joined flax param path, FIRST matching rule wins, and
+    unmatched params get the base (lr×1, WEIGHT_DECAY from OPTIMIZER).
+    Implemented as one optax.multi_transform whose label tree is computed
+    from the param paths at init — jit-compatible, no Python in the step.
+    """
+    rules = opt_cfg.OPTIMIZER.get("PARAM_GROUPS", None)
+    if not rules:
+        return None
+
+    ocfg = opt_cfg.OPTIMIZER
+    transforms = {"default": _make_tx(name, schedule, wd, eps, ocfg)}
+    pats = []
+    for i, rule in enumerate(rules):
+        scale = float(rule.get("LR_SCALE", 1.0) or 1.0)
+        gwd = rule.get("WEIGHT_DECAY", None)
+        gwd = wd if gwd is None else float(gwd)
+        if gwd != wd and name not in ("adamw", "lamb"):
+            raise ValueError(
+                f"PARAM_GROUPS[{i}].WEIGHT_DECAY needs a decoupled-decay "
+                f"optimizer (adamw/lamb), got {name!r}")
+        sched_g = schedule if scale == 1.0 else (
+            lambda step, _s=scale: schedule(step) * _s)
+        transforms[f"g{i}"] = _make_tx(name, sched_g, gwd, eps, ocfg)
+        pats.append(re.compile(str(rule["MATCH"])))
+
+    def label_params(params):
+        def one(path, _):
+            p = _path_str(path)
+            for i, pat in enumerate(pats):
+                if pat.search(p):
+                    return f"g{i}"
+            return "default"
+        return jax.tree_util.tree_map_with_path(one, params)
+
+    return optax.multi_transform(transforms, label_params)
+
+
 def build_optimizer(opt_cfg: Config, total_steps: int) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """OPTIMIZATION section → (optax tx, lr schedule)."""
     schedule = build_schedule(opt_cfg, total_steps)
@@ -81,18 +150,9 @@ def build_optimizer(opt_cfg: Config, total_steps: int) -> Tuple[optax.GradientTr
     wd = float(ocfg.get("WEIGHT_DECAY", 0.0))
     eps = float(ocfg.get("EPS", 1e-8))
 
-    if name == "adamw":
-        tx = optax.adamw(schedule, weight_decay=wd, eps=eps)
-    elif name == "adam":
-        tx = optax.adam(schedule, eps=eps)
-    elif name == "sgd":
-        tx = optax.sgd(schedule, momentum=float(ocfg.get("MOMENTUM", 0.0)))
-    elif name == "rmsprop":
-        tx = optax.rmsprop(schedule, eps=eps)
-    elif name == "lamb":
-        tx = optax.lamb(schedule, weight_decay=wd, eps=eps)
-    else:
-        raise ValueError(f"unknown optimizer {ocfg.NAME!r}")
+    tx = build_param_groups(opt_cfg, schedule, name, wd, eps)
+    if tx is None:
+        tx = _make_tx(name, schedule, wd, eps, ocfg)
 
     clip_cfg: Optional[Config] = opt_cfg.get("CLIP_GRAD", None)
     if clip_cfg:

@@ -45,6 +45,7 @@ QUICK_MODULES = {
     "test_configs",
     "test_native",
     "test_nmrf_ops",
+    "test_optim",
     "test_quick_forward",
 }
 

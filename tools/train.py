@@ -73,8 +73,16 @@ def main():
     mesh = make_mesh(model=args.model_par)
     trainer = Trainer(cfg, run_dir_for(args, cfg), run_mode="train", mesh=mesh,
                       seed=args.seed, num_workers=args.workers, worker_type=args.worker_type)
-    if args.ckpt is None or args.ckpt >= 0:
-        trainer.resume_ckpt(args.ckpt)
+    # resume priority: --ckpt flag, then MODEL.CKPT from the yaml (the
+    # reference's staged recipes, e.g. cfnet_sceneflow_part2.yaml CKPT: 20,
+    # encode the resume epoch in config — trainer_template.py:51,120-121)
+    ckpt = args.ckpt
+    if ckpt is None:
+        cfg_ckpt = int(cfg.MODEL.get("CKPT", -1))
+        if cfg_ckpt > -1:
+            ckpt = cfg_ckpt
+    if ckpt is None or ckpt >= 0:
+        trainer.resume_ckpt(ckpt)
     trainer.train()
 
 
