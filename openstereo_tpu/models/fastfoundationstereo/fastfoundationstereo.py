@@ -41,7 +41,7 @@ from ..foundationstereo.foundationstereo import (_FSGRUIteration,
                                                  build_cosine_gwc_volume,
                                                  build_fs_concat_volume)
 from ..igev.blocks import BasicConvBN, Conv2x, FeatureAtt
-from ..igev.geometry import CombinedGeoEncodingVolume
+from ..igev.geometry import CombinedGeoEncodingVolume, lookup_dtype
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from ..igev.blocks import BasicConvIN
@@ -168,9 +168,9 @@ class FastFoundationStereo(nn.Module):
         att = [sam(x) for x in inp_list]
 
         geo_fn = CombinedGeoEncodingVolume(
-            _l2_normalize(feats_l[0].astype(head_dtype(self.dtype)), -1),
-            _l2_normalize(feats_r[0].astype(head_dtype(self.dtype)), -1),
-            comb.astype(head_dtype(self.dtype)),
+            _l2_normalize(feats_l[0].astype(lookup_dtype(self.dtype)), -1),
+            _l2_normalize(feats_r[0].astype(lookup_dtype(self.dtype)), -1),
+            comb.astype(lookup_dtype(self.dtype)),
             num_levels=self.corr_levels, radius=self.corr_radius)
 
         bb, h4, w4 = init_disp.shape
@@ -197,7 +197,7 @@ class FastFoundationStereo(nn.Module):
           motion_fuse_kernel=1,  # fast update.py:33 fuses with a 1x1 conv
           dtype=self.dtype, name="gru_loop")
         carry = (tuple(net_list), init_disp[..., None])
-        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+        consts = (geo_fn.geo_lookup, geo_fn.corr_lookup,
                   tuple(inp_list), tuple(att), coords)
         carry, (disp_seq, mask_seq) = loop(carry, consts)
 

@@ -44,7 +44,7 @@ from ...registry import MODELS
 from ..backbones.dpt import DAV2_CONFIGS, DepthAnythingV2
 from ..backbones.edgenext import EdgeNeXtFeatures
 from ..igev.blocks import BasicConvBN, BasicConvIN, Conv2x, FeatureAtt
-from ..igev.geometry import CombinedGeoEncodingVolume, lookup_1d
+from ..igev.geometry import CombinedGeoEncodingVolume, lookup_dtype
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from .blocks import (AHCFHourglass, BasicSelectiveMultiUpdateBlock,
@@ -156,16 +156,17 @@ class _FSGRUIteration(nn.Module):
         # autodiff stacks per-step carries as backward residuals (iters×
         # the volume memory); broadcast constants are saved once.
         net, disp = carry
-        geo_pyr, corr_pyr, inp, att, coords = consts
+        geo_lookup, corr_lookup, inp, att, coords = consts
         disp = jax.lax.stop_gradient(disp)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
+        scales = [2.0 ** i for i in range(self.num_levels)]
+        geo_feats = geo_lookup([disp[..., 0, None] / s + dx for s in scales])
+        corr_feats = corr_lookup(
+            [(coords - disp[..., 0])[..., None] / s + dx for s in scales])
         feats = []
-        for i in range(self.num_levels):
-            scale = 2.0 ** i
-            feats.append(lookup_1d(geo_pyr[i], disp[..., 0, None] / scale + dx))
-            feats.append(lookup_1d(
-                corr_pyr[i], (coords - disp[..., 0])[..., None] / scale + dx))
+        for g, c_ in zip(geo_feats, corr_feats):
+            feats.extend([g, c_])
         geo_feat = jnp.concatenate(feats, axis=-1)
 
         net, mask_feat, delta = BasicSelectiveMultiUpdateBlock(
@@ -262,9 +263,9 @@ class FoundationStereo(nn.Module):
         att = [sam(x) for x in inp_list]
 
         geo_fn = CombinedGeoEncodingVolume(
-            _l2_normalize(feats_l[0].astype(head_dtype(self.dtype)), -1),
-            _l2_normalize(feats_r[0].astype(head_dtype(self.dtype)), -1),
-            comb.astype(head_dtype(self.dtype)),
+            _l2_normalize(feats_l[0].astype(lookup_dtype(self.dtype)), -1),
+            _l2_normalize(feats_r[0].astype(lookup_dtype(self.dtype)), -1),
+            comb.astype(lookup_dtype(self.dtype)),
             num_levels=self.corr_levels, radius=self.corr_radius)
 
         bb, h4, w4 = init_disp.shape
@@ -292,7 +293,7 @@ class FoundationStereo(nn.Module):
           dtype=self.dtype, name="gru_loop")
 
         carry = (tuple(net_list), init_disp[..., None])
-        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+        consts = (geo_fn.geo_lookup, geo_fn.corr_lookup,
                   tuple(inp_list), tuple(att), coords)
         carry, (disp_seq, mask_seq) = loop(carry, consts)
 

@@ -39,7 +39,7 @@ from .blocks import (
     FeatureAtt,
     MultiBasicEncoder,
 )
-from .geometry import CombinedGeoEncodingVolume
+from .geometry import CombinedGeoEncodingVolume, lookup_dtype
 from .update import BasicMultiUpdateBlock
 
 
@@ -113,23 +113,23 @@ class _GRUIteration(nn.Module):
 
     @nn.compact
     def __call__(self, carry, consts):
-        from .geometry import lookup_1d
-
         net_list, disp = carry
-        geo_pyr, corr_pyr, inp_list, coords = consts
+        geo_lookup, corr_lookup, inp_list, coords = consts
         net_list = list(net_list)
         disp = jax.lax.stop_gradient(disp)
 
         # geometry lookup (CombinedGeoEncodingVolume.__call__ inlined over
-        # the carried pyramids)
+        # the broadcast MultiLookup consts — one merged einsum per pyramid)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
+        scales = [2.0 ** i for i in range(self.num_levels)]
+        geo_feats = geo_lookup(
+            [disp[..., 0, None] / s + dx for s in scales])
+        corr_feats = corr_lookup(
+            [(coords - disp[..., 0])[..., None] / s + dx for s in scales])
         feats = []
-        for i in range(self.num_levels):
-            scale = 2.0 ** i
-            feats.append(lookup_1d(geo_pyr[i], disp[..., 0, None] / scale + dx))
-            feats.append(lookup_1d(
-                corr_pyr[i], (coords - disp[..., 0])[..., None] / scale + dx))
+        for g, c in zip(geo_feats, corr_feats):
+            feats.extend([g, c])
         geo_feat = jnp.concatenate(feats, axis=-1)
 
         update_block = BasicMultiUpdateBlock(
@@ -248,8 +248,8 @@ class IGEV(nn.Module):
             inp_list.append(tuple(jnp.split(z, 3, axis=-1)))
 
         geo_fn = CombinedGeoEncodingVolume(
-            match_left.astype(head_dtype(self.dtype)), match_right.astype(head_dtype(self.dtype)),
-            geo_volume.astype(head_dtype(self.dtype)),
+            match_left.astype(lookup_dtype(self.dtype)), match_right.astype(lookup_dtype(self.dtype)),
+            geo_volume.astype(lookup_dtype(self.dtype)),
             num_levels=self.corr_levels, radius=self.corr_radius)
 
         b, h4, w4 = init_disp.shape
@@ -291,7 +291,7 @@ class IGEV(nn.Module):
             name="gru_loop",
         )
         carry = (tuple(net_list), init_disp[..., None])
-        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+        consts = (geo_fn.geo_lookup, geo_fn.corr_lookup,
                   tuple(inp_list), coords)
         carry, (disp_seq, mask_seq) = loop(carry, consts)
         final_disp = carry[1]

@@ -35,7 +35,7 @@ from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import masked_l1, masked_smooth_l1
 from ..igev.blocks import BasicConvBN, BasicConvIN, Conv2x, Feature
-from ..igev.geometry import avg_pool_last, lookup_1d
+from ..igev.geometry import MultiLookup, avg_pool_last, lookup_dtype
 from ..igev.igev import GeoHourglass
 from ..igev.update import ConvGRU, DispHead
 
@@ -93,13 +93,13 @@ class _RTIteration(nn.Module):
     @nn.compact
     def __call__(self, carry, consts):
         net, disp = carry
-        geo_pyr, context = consts
+        geo_lookup, context = consts
         disp = jax.lax.stop_gradient(disp)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
-        feats = [lookup_1d(geo_pyr[i], disp[..., 0, None] / (2.0 ** i) + dx)
-                 for i in range(self.num_levels)]
-        geo_feat = jnp.concatenate(feats, axis=-1)
+        geo_feat = jnp.concatenate(geo_lookup(
+            [disp[..., 0, None] / (2.0 ** i) + dx
+             for i in range(self.num_levels)]), axis=-1)
         net, mask_feat_4, delta = BasicUpdateBlock(
             self.hidden_dim, dtype=self.dtype, name="update_block")(
                 net, context, geo_feat, disp)
@@ -181,7 +181,7 @@ class IGEVRT(nn.Module):
         context = tuple(jnp.split(zqr, 3, axis=-1))
 
         # geo-only lookup pyramid (reference igev_rt/geometry.py:6-33)
-        geo0 = jnp.transpose(geo_volume.astype(head_dtype(self.dtype)),
+        geo0 = jnp.transpose(geo_volume.astype(lookup_dtype(self.dtype)),
                              (0, 2, 3, 4, 1))  # [B,H,W,C,D]
         geo_pyr = [geo0]
         for _ in range(self.corr_levels - 1):
@@ -215,7 +215,7 @@ class IGEVRT(nn.Module):
             name="gru_loop",
         )
         carry = (net, init_disp[..., None])
-        carry, (disp_seq, mask_seq) = loop(carry, (tuple(geo_pyr), context))
+        carry, (disp_seq, mask_seq) = loop(carry, (MultiLookup(geo_pyr), context))
         final_disp = carry[1]
         final_mask_feat = mask_seq[-1]
 

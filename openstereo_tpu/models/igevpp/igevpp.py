@@ -45,7 +45,8 @@ from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import masked_l1, masked_smooth_l1
 from ..igev.blocks import BasicConvBN, BasicConvIN, Conv2x, Feature, FeatureAtt
 from ..igev.blocks import MultiBasicEncoder
-from ..igev.geometry import all_pairs_correlation, avg_pool_last, lookup_1d
+from ..igev.geometry import (MultiLookup, all_pairs_correlation,
+                             avg_pool_last, lookup_dtype)
 from ..igev.update import ConvGRU, DispHead, interp_to, pool2x
 
 
@@ -173,7 +174,7 @@ class PPUpdateBlock(nn.Module):
 class _PPIteration(nn.Module):
     """One IGEV++ GRU iteration (body of the scanned loop).
 
-    carry = (net_list, disp, geo0_pyr, geo1, geo2, corr_pyr, sel_w,
+    carry = (net_list, disp); consts = (geo_lookup, corr_lookup, sel_w,
     inp_list, coords); emits (disp, mask_feat_4)."""
 
     hidden_dims: Sequence[int]
@@ -188,21 +189,21 @@ class _PPIteration(nn.Module):
         # autodiff stacks per-step carries as backward residuals (iters×
         # the volume memory); broadcast constants are saved once.
         net_list, disp = carry
-        (geo0_pyr, geo1, geo2, corr_pyr, sel_w, inp_list, coords) = consts
+        (geo_lookup, corr_lookup, sel_w, inp_list, coords) = consts
         net_list = list(net_list)
         disp = jax.lax.stop_gradient(disp)
 
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
         d0 = disp[..., 0]
-        geo0 = jnp.concatenate(
-            [lookup_1d(geo0_pyr[i], d0[..., None] / (2.0 ** i) + dx)
-             for i in range(self.num_levels)], axis=-1)
-        gf1 = lookup_1d(geo1, d0[..., None] / 2.0 + dx)
-        gf2 = lookup_1d(geo2, d0[..., None] / 4.0 + dx)
-        init_corr = jnp.concatenate(
-            [lookup_1d(corr_pyr[i], (coords - d0)[..., None] / (2.0 ** i) + dx)
-             for i in range(self.num_levels)], axis=-1)
+        geo_parts = geo_lookup(
+            [d0[..., None] / (2.0 ** i) + dx for i in range(self.num_levels)]
+            + [d0[..., None] / 2.0 + dx, d0[..., None] / 4.0 + dx])
+        geo0 = jnp.concatenate(geo_parts[:self.num_levels], axis=-1)
+        gf1, gf2 = geo_parts[self.num_levels], geo_parts[self.num_levels + 1]
+        init_corr = jnp.concatenate(corr_lookup(
+            [(coords - d0)[..., None] / (2.0 ** i) + dx
+             for i in range(self.num_levels)]), axis=-1)
 
         net_list, mask_feat_4, delta = PPUpdateBlock(
             hidden_dims=tuple(self.hidden_dims),
@@ -330,17 +331,22 @@ class IGEVPP(nn.Module):
                         dtype=self.dtype, name=f"context_zqr{i}")(nn.relu(o[1]))
             inp_list.append(tuple(jnp.split(z, 3, axis=-1)))
 
-        # lookup pyramids: geo0 2-level, geo1/geo2 single, corr 2-level
+        # lookup pyramids: geo0 2-level, geo1/geo2 single, corr 2-level —
+        # all geo segments share C, so ONE MultiLookup samples geo0's
+        # levels + geo1 + geo2 in a single merged einsum per iteration
+        ld = lookup_dtype(self.dtype)
         to_lookup = lambda v: jnp.transpose(  # noqa: E731  [B,H,W,C,D]
-            v.astype(hd), (0, 2, 3, 4, 1))
+            v.astype(ld), (0, 2, 3, 4, 1))
         geo0_pyr = [to_lookup(geo0)]
         for _ in range(self.corr_levels - 1):
             geo0_pyr.append(avg_pool_last(geo0_pyr[-1]))
+        geo_lookup = MultiLookup(geo0_pyr + [to_lookup(geo1), to_lookup(geo2)])
         corr = all_pairs_correlation(
-            match_left.astype(hd), match_right.astype(hd))[:, :, :, None, :]
+            match_left.astype(ld), match_right.astype(ld))[:, :, :, None, :]
         corr_pyr = [corr]
         for _ in range(self.corr_levels - 1):
             corr_pyr.append(avg_pool_last(corr_pyr[-1]))
+        corr_lookup = MultiLookup(corr_pyr)
 
         b, h4, w4 = agg_disp0.shape
         coords = jnp.broadcast_to(jnp.arange(w4, dtype=jnp.float32)[None, None, :],
@@ -373,8 +379,7 @@ class IGEVPP(nn.Module):
             name="gru_loop",
         )
         carry = (tuple(net_list), agg_disp0[..., None])
-        consts = (tuple(geo0_pyr), to_lookup(geo1), to_lookup(geo2),
-                  tuple(corr_pyr), sel_w, tuple(inp_list), coords)
+        consts = (geo_lookup, corr_lookup, sel_w, tuple(inp_list), coords)
         carry, (disp_seq, mask_seq) = loop(carry, consts)
         final_disp = carry[1]
         final_mask_feat = mask_seq[-1]

@@ -46,7 +46,7 @@ from ...registry import MODELS
 from ..backbones.dinov2 import VIT_CONFIGS, DinoViT
 from ..backbones.dpt import DAV2_CONFIGS, DPTHead, DPTPyramidDecoder
 from ..igev.blocks import BasicConvBN, BasicConvIN, Conv2x
-from ..igev.geometry import CombinedGeoEncodingVolume, lookup_1d
+from ..igev.geometry import CombinedGeoEncodingVolume, lookup_dtype
 from ..igev.update import BasicMultiUpdateBlock
 from ..layers import ConvBlock, head_dtype
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
@@ -106,16 +106,17 @@ class _MonsterIterationA(nn.Module):
         # static lookups ride a broadcast input, not the carry (scan
         # autodiff would stack per-step carries iters× as residuals)
         net, disp = carry
-        geo_pyr, corr_pyr, inp, coords = consts
+        geo_lookup, corr_lookup, inp, coords = consts
         disp = jax.lax.stop_gradient(disp)
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
+        scales = [2.0 ** i for i in range(self.num_levels)]
+        geo_feats = geo_lookup([disp[..., 0, None] / s + dx for s in scales])
+        corr_feats = corr_lookup(
+            [(coords - disp[..., 0])[..., None] / s + dx for s in scales])
         feats = []
-        for i in range(self.num_levels):
-            s = 2.0 ** i
-            feats.append(lookup_1d(geo_pyr[i], disp[..., 0, None] / s + dx))
-            feats.append(lookup_1d(
-                corr_pyr[i], (coords - disp[..., 0])[..., None] / s + dx))
+        for g, c_ in zip(geo_feats, corr_feats):
+            feats.extend([g, c_])
         geo_feat = jnp.concatenate(feats, axis=-1)
         net, mask_feat, delta = BasicMultiUpdateBlock(
             hidden_dims=tuple(self.hidden_dims), n_gru_layers=self.n_gru_layers,
@@ -139,20 +140,21 @@ class _MonsterIterationB(nn.Module):
     @nn.compact
     def __call__(self, carry, consts):
         net, net_m, disp, disp_m = carry
-        geo_pyr, corr_pyr, inp, coords, feat_l, feat_r = consts
+        geo_lookup, corr_lookup, inp, coords, feat_l, feat_r = consts
         disp = jax.lax.stop_gradient(disp)
         disp_m = jax.lax.stop_gradient(disp_m)
 
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
+        scales = [2.0 ** i for i in range(self.num_levels)]
 
         def geo(d):
+            gf = geo_lookup([d[..., 0, None] / s + dx for s in scales])
+            cf = corr_lookup(
+                [(coords - d[..., 0])[..., None] / s + dx for s in scales])
             feats = []
-            for i in range(self.num_levels):
-                s = 2.0 ** i
-                feats.append(lookup_1d(geo_pyr[i], d[..., 0, None] / s + dx))
-                feats.append(lookup_1d(
-                    corr_pyr[i], (coords - d[..., 0])[..., None] / s + dx))
+            for g, c_ in zip(gf, cf):
+                feats.extend([g, c_])
             return jnp.concatenate(feats, axis=-1)
 
         geo_s, geo_m = geo(disp), geo(disp_m)
@@ -255,9 +257,9 @@ class MonSter(nn.Module):
             inp_list.append(tuple(jnp.split(z, 3, axis=-1)))
 
         geo_fn = CombinedGeoEncodingVolume(
-            match_left.astype(head_dtype(self.dtype)),
-            match_right.astype(head_dtype(self.dtype)),
-            geo_volume.astype(head_dtype(self.dtype)),
+            match_left.astype(lookup_dtype(self.dtype)),
+            match_right.astype(lookup_dtype(self.dtype)),
+            geo_volume.astype(lookup_dtype(self.dtype)),
             num_levels=self.corr_levels, radius=self.corr_radius)
         bb, h4, w4 = init_disp.shape
         coords = jnp.broadcast_to(
@@ -284,7 +286,7 @@ class MonSter(nn.Module):
                          split_rngs={"params": False}, in_axes=nn.broadcast,
                          length=n_a)(
             **common, name="gru_loop")
-        consts_a = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+        consts_a = (geo_fn.geo_lookup, geo_fn.corr_lookup,
                     tuple(inp_list), coords)
         # the mono branch's hidden states are a clone of the INITIAL
         # (pre-loop) states, not the post-phase-A ones
@@ -306,7 +308,7 @@ class MonSter(nn.Module):
                          split_rngs={"params": False}, in_axes=nn.broadcast,
                          length=n_b)(
             **common, name="gru_loop_mix")
-        consts_b = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+        consts_b = (geo_fn.geo_lookup, geo_fn.corr_lookup,
                     tuple(inp_list), coords,
                     feats_l[0].astype(head_dtype(self.dtype)),
                     feats_r[0].astype(head_dtype(self.dtype)))

@@ -48,7 +48,7 @@ from ...parallel.sharding import shard_disparity
 from ..layers import ConvBlock, head_dtype, siamese
 from ..losses import disp_valid_mask, masked_l1, masked_smooth_l1
 from ..igev.blocks import BasicConvIN, Conv2x, Feature, FeatureAtt, MultiBasicEncoder
-from ..igev.geometry import CombinedGeoEncodingVolume
+from ..igev.geometry import CombinedGeoEncodingVolume, lookup_dtype
 from ..igev.igev import GeoHourglass, _GRUIteration
 
 
@@ -222,9 +222,9 @@ class StereoBase(nn.Module):
             inp_list.append(tuple(jnp.split(z, 3, axis=-1)))
 
         geo_fn = CombinedGeoEncodingVolume(
-            match_left.astype(head_dtype(self.dtype)),
-            match_right.astype(head_dtype(self.dtype)),
-            geo_volume.astype(head_dtype(self.dtype)),
+            match_left.astype(lookup_dtype(self.dtype)),
+            match_right.astype(lookup_dtype(self.dtype)),
+            geo_volume.astype(lookup_dtype(self.dtype)),
             num_levels=self.corr_levels, radius=self.corr_radius)
 
         b, h4, w4 = init_disp.shape
@@ -259,7 +259,7 @@ class StereoBase(nn.Module):
             name="gru_loop",
         )
         carry = (tuple(net_list), init_disp[..., None])
-        consts = (tuple(geo_fn.geo_pyramid), tuple(geo_fn.corr_pyramid),
+        consts = (geo_fn.geo_lookup, geo_fn.corr_lookup,
                   tuple(inp_list), coords)
         carry, (disp_seq, mask_seq) = loop(carry, consts)
         final_disp = carry[1]

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sampler import bilinear_sampler
+from .sampler import _pack_2x2, _sample_packed
 
 
 def modulated_deform_conv(
@@ -47,19 +47,23 @@ def modulated_deform_conv(
     x_groups = x.reshape(b, h, w, dg, cg)
 
     half = dilation * (k - 1) // 2
-    taps = []
-    for ki in range(kk):
-        dy = (ki // k) * dilation - half
-        dx = (ki % k) * dilation - half
-        per_group = []
-        for g in range(dg):
-            py = base_y + dy + offset[:, :, :, g, ki, 0]
-            px = base_x + dx + offset[:, :, :, g, ki, 1]
-            coords = jnp.stack([px, py], axis=-1)
-            sampled = bilinear_sampler(x_groups[:, :, :, g], coords)  # [B,Ho,Wo,cg]
-            per_group.append(sampled * mask[:, :, :, g, ki][..., None])
-        taps.append(jnp.concatenate(per_group, axis=-1))  # [B,Ho,Wo,C]
+    dy = (jnp.arange(kk) // k).astype(jnp.float32) * dilation - half  # [K]
+    dx = (jnp.arange(kk) % k).astype(jnp.float32) * dilation - half
 
-    cols = jnp.concatenate(taps, axis=-1)     # [B,Ho,Wo,K·C], tap-major
+    # one packed-patch gather per deformable group covering ALL K taps
+    group_taps = []
+    for g in range(dg):
+        packed = _pack_2x2(x_groups[:, :, :, g])             # [B,H,W,4cg]
+        py = (base_y[..., None] + dy + offset[:, :, :, g, :, 0]) \
+            .transpose(0, 3, 1, 2).reshape(b, kk * ho * wo)
+        px = (base_x[..., None] + dx + offset[:, :, :, g, :, 1]) \
+            .transpose(0, 3, 1, 2).reshape(b, kk * ho * wo)
+        sampled = _sample_packed(packed, h, w, py, px)        # [B,K·Ho·Wo,cg]
+        sampled = sampled.reshape(b, kk, ho, wo, cg)
+        m = jnp.moveaxis(mask[:, :, :, g, :], -1, 1)          # [B,K,Ho,Wo]
+        group_taps.append(sampled * m[..., None])
+    # [B,K,Ho,Wo,dg,cg] → tap-major cols [B,Ho,Wo,K·C] (C = dg·cg order)
+    cols = jnp.stack(group_taps, axis=-2)
+    cols = jnp.moveaxis(cols, 1, 3).reshape(b, ho, wo, kk * c)
     w_mat = weights.reshape(kk * c, -1)       # HWIO flattens to the same order
     return jnp.einsum("bhwi,io->bhwo", cols, w_mat)

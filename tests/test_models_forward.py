@@ -278,6 +278,46 @@ def test_deform_conv_matches_plain_conv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
 
 
+def test_deform_conv_matches_gather_reference():
+    """The packed-patch single-gather path must match the plain 4-tap
+    bilinear_sampler formulation bit-for-bit in f32, including samples
+    pushed out of frame (grid_sample zeros semantics)."""
+    from openstereo_tpu.ops.deform_conv import modulated_deform_conv
+    from openstereo_tpu.ops.sampler import bilinear_sampler
+
+    rng = np.random.RandomState(1)
+    b, h, w, c, k, dg = 2, 9, 11, 8, 3, 2
+    kk, cg = k * k, c // dg
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    wts = jnp.asarray(rng.randn(k, k, c, 5), jnp.float32)
+    # large offsets so many taps land outside the frame
+    off = jnp.asarray(rng.randn(b, h, w, dg * 2 * kk) * 6.0, jnp.float32)
+    mask = jnp.asarray(rng.rand(b, h, w, dg * kk), jnp.float32)
+
+    got = modulated_deform_conv(x, off, mask, wts, deformable_groups=dg)
+
+    # reference: per-tap bilinear_sampler (the pre-round-5 formulation)
+    offr = off.reshape(b, h, w, dg, kk, 2)
+    maskr = mask.reshape(b, h, w, dg, kk)
+    xg = x.reshape(b, h, w, dg, cg)
+    ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[None, :, None], (b, h, w))
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, None, :], (b, h, w))
+    taps = []
+    for ki in range(kk):
+        dy, dx = ki // k - 1, ki % k - 1
+        per_group = []
+        for g in range(dg):
+            py = ys + dy + offr[:, :, :, g, ki, 0]
+            px = xs + dx + offr[:, :, :, g, ki, 1]
+            s = bilinear_sampler(xg[:, :, :, g], jnp.stack([px, py], -1))
+            per_group.append(s * maskr[:, :, :, g, ki][..., None])
+        taps.append(jnp.concatenate(per_group, -1))
+    cols = jnp.concatenate(taps, -1)
+    exp = jnp.einsum("bhwi,io->bhwo", cols, wts.reshape(kk * c, -1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_sttr_forward_and_grad():
     from openstereo_tpu.models.sttr import STTR
 
