@@ -65,14 +65,35 @@ def conv3d_tap_merged(
     do = (d + pd0 + pd1 - (dd * (kd - 1) + 1)) // sd + 1
 
     if kd == 1 and sd == 1:
-        # pointwise-in-depth is already a pure contraction; the native
-        # lowering keeps the producer/consumer fusion and layout XLA picked
-        # for the surrounding 3D ops (folding to conv2d here measured
-        # 84 ms → 134 ms on MSNet3D's MobileV2 pw convs)
+        # spatial-only conv at shallow width: fold D into batch — ONE 2D
+        # conv over B·D images. Measured 6.75 → 2.99 ms at [48,136,240,28]
+        # (FFS AHCF's 1x3x3 stage); at C ≥ ~112 the native Conv3D walk is
+        # on par or better, and for 1x1x1 pointwise convs folding breaks
+        # the producer/consumer fusion XLA picked for the surrounding 3D
+        # ops (measured 84 ms → 134 ms on MSNet3D's MobileV2 pw convs).
+        if (kh > 1 or kw > 1) and cin <= 64 and d > 1:
+            xb = x.reshape(b * d, h, w, cin)
+            o = conv2d(xb, kernel.reshape(kh, kw, cin_g, cout))
+            return o.reshape(b, d, o.shape[1], o.shape[2], cout)
         return jax.lax.conv_general_dilated(
             x, kernel, (1, sh, sw), (padding[0], ph, pw),
             rhs_dilation=(1, dh, dw_), feature_group_count=groups,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    if kh == 1 and kw == 1 and sh == 1 and sw == 1:
+        # pure depth-axis conv (FastFoundationStereo's AHCF 17x1x1
+        # disparity filters, blocks.py DWConv): fold H,W into ONE spatial
+        # axis and run a [KD,1] 2D conv. The tap-merged form materializes
+        # a KD-times-wider pre-reduction volume (1.5 GB at kd=17 on the
+        # level-0 volume) plus KD shift-adds — measured 16.3 ms vs 4.9 ms
+        # folded at [1,48,136,240,28]; native Conv3D also loses (6.0 ms).
+        xr = x.reshape(b, d, h * w, cin)
+        wk = kernel.reshape(kd, 1, cin_g, cout)
+        o = jax.lax.conv_general_dilated(
+            xr, wk, (sd, 1), (padding[0], (0, 0)), rhs_dilation=(dd, 1),
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return o.reshape(b, o.shape[1], h, w, cout)
 
     if sd == kd and dd == 1 and pd0 == 0 and pd1 == 0 and d % kd == 0 \
             and groups == 1:

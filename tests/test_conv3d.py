@@ -19,8 +19,11 @@ from openstereo_tpu.ops.conv3d import conv3d_tap_merged
     (((1, 7, 9, 9, 8), (3, 3, 3, 8, 16)), (2, 1, 1), ((1, 1), (1, 1), (1, 1)), (1, 1, 1), 1),
     (((1, 64, 10, 12, 1), (8, 3, 3, 1, 16)), (8, 1, 1), ((0, 0), (1, 1), (1, 1)), (1, 1, 1), 1),
     (((1, 9, 10, 12, 8), (3, 3, 3, 8, 8)), (2, 1, 1), ((0, 1), (1, 1), (1, 1)), (1, 1, 1), 1),
+    (((1, 12, 9, 10, 8), (7, 1, 1, 8, 8)), (1, 1, 1), ((3, 3), (0, 0), (0, 0)), (1, 1, 1), 1),
+    (((1, 12, 9, 10, 8), (5, 1, 1, 8, 16)), (2, 1, 1), ((2, 2), (0, 0), (0, 0)), (1, 1, 1), 1),
+    (((1, 12, 9, 10, 8), (5, 1, 1, 1, 8)), (1, 1, 1), ((2, 2), (0, 0), (0, 0)), (1, 1, 1), 8),
 ], ids=["basic", "stride2", "dilated", "depthwise", "grouped", "pointwise", "dstride",
-        "nonoverlap", "asympad"])
+        "nonoverlap", "asympad", "depthaxis", "depthaxis_stride", "depthaxis_dw"])
 def test_matches_native_conv3d(case):
     (xshape, kshape), strides, padding, dilation, groups = case
     rng = np.random.RandomState(0)
