@@ -66,8 +66,11 @@ class MultiLookup:
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)[:-1]])
         self.cat = jnp.concatenate(list(vols), axis=-1)
 
-    def __call__(self, pos_list: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
-        """pos_list[i]: [B,H,W,T] per level → list of [B,H,W,C·T]."""
+    def __call__(self, pos_list: Sequence[jnp.ndarray],
+                 flat: bool = True) -> List[jnp.ndarray]:
+        """pos_list[i]: [B,H,W,T] per level → list of [B,H,W,C·T], or 5D
+        [B,H,W,C,T] blocks when flat=False (for SplitPointwise consumers
+        that contract without the reshape/relayout)."""
         cat = self.cat
         b, h, w, c, ltot = cat.shape
         t = pos_list[0].shape[-1]
@@ -83,7 +86,9 @@ class MultiLookup:
         out = jnp.einsum("bhwcl,bhwtl->bhwct", cat, hat.astype(cat.dtype) * mask,
                          precision=jax.lax.Precision.HIGHEST)
         out = out.reshape(b, h, w, c, n, t)
-        return [out[..., i, :].reshape(b, h, w, c * t) for i in range(n)]
+        if flat:
+            return [out[..., i, :].reshape(b, h, w, c * t) for i in range(n)]
+        return [out[..., i, :] for i in range(n)]
 
 
 def _ml_flatten(ml):

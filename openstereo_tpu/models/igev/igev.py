@@ -123,14 +123,23 @@ class _GRUIteration(nn.Module):
         r = self.radius
         dx = jnp.arange(-r, r + 1, dtype=disp.dtype)
         scales = [2.0 ** i for i in range(self.num_levels)]
+        # 5D blocks, no concat: the motion encoder's 1x1 conv contracts
+        # each block in place (SplitPointwise), killing the per-iteration
+        # concat + relayout copies. Only profitable when the geo volume is
+        # wide enough that the per-block contraction feeds the MXU
+        # (StereoBase C=24: 156 -> 150 ms; IGEV C=8: 137 -> 143 ms
+        # REGRESSION with blocks) — gate on the channel count.
+        blocks = geo_lookup.cat.shape[-2] >= 16
         geo_feats = geo_lookup(
-            [disp[..., 0, None] / s + dx for s in scales])
+            [disp[..., 0, None] / s + dx for s in scales], flat=not blocks)
         corr_feats = corr_lookup(
-            [(coords - disp[..., 0])[..., None] / s + dx for s in scales])
-        feats = []
+            [(coords - disp[..., 0])[..., None] / s + dx for s in scales],
+            flat=not blocks)
+        geo_feat = []
         for g, c in zip(geo_feats, corr_feats):
-            feats.extend([g, c])
-        geo_feat = jnp.concatenate(feats, axis=-1)
+            geo_feat.extend([g, c])
+        if not blocks:
+            geo_feat = jnp.concatenate(geo_feat, axis=-1)
 
         update_block = BasicMultiUpdateBlock(
             hidden_dims=tuple(self.hidden_dims), n_gru_layers=self.n_gru_layers,

@@ -22,8 +22,11 @@ from openstereo_tpu.ops.conv3d import conv3d_tap_merged
     (((1, 12, 9, 10, 8), (7, 1, 1, 8, 8)), (1, 1, 1), ((3, 3), (0, 0), (0, 0)), (1, 1, 1), 1),
     (((1, 12, 9, 10, 8), (5, 1, 1, 8, 16)), (2, 1, 1), ((2, 2), (0, 0), (0, 0)), (1, 1, 1), 1),
     (((1, 12, 9, 10, 8), (5, 1, 1, 1, 8)), (1, 1, 1), ((2, 2), (0, 0), (0, 0)), (1, 1, 1), 8),
+    (((1, 10, 9, 11, 8), (3, 3, 3, 8, 12)), (1, 1, 1), ((1, 1), (1, 1), (1, 1)), (1, 1, 1), 1),
+    (((1, 10, 9, 11, 4), (3, 3, 3, 4, 8)), (1, 2, 2), ((2, 0), (1, 1), (1, 1)), (1, 1, 1), 1),
 ], ids=["basic", "stride2", "dilated", "depthwise", "grouped", "pointwise", "dstride",
-        "nonoverlap", "asympad", "depthaxis", "depthaxis_stride", "depthaxis_dw"])
+        "nonoverlap", "asympad", "depthaxis", "depthaxis_stride", "depthaxis_dw",
+        "narrow_inpside", "narrow_inpside_asym"])
 def test_matches_native_conv3d(case):
     (xshape, kshape), strides, padding, dilation, groups = case
     rng = np.random.RandomState(0)
