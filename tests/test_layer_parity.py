@@ -178,3 +178,32 @@ def test_convgru_matches_torch():
                                 (jnp.asarray(cz), jnp.asarray(cr), jnp.asarray(cq)),
                                 jnp.asarray(xin)))
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_split_pointwise_matches_concat_conv():
+    """SplitPointwise (blockwise 1x1 contraction over 5D lookup blocks)
+    must match concat -> reshape -> nn.Conv 1x1 with the SAME param tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from openstereo_tpu.models.igev.update import SplitPointwise
+
+    rng = np.random.RandomState(0)
+    blocks = [jnp.asarray(rng.randn(2, 5, 7, c, t), jnp.float32)
+              for c, t in [(24, 9), (1, 9), (24, 9), (1, 9)]]
+    cin = sum(b.shape[-2] * b.shape[-1] for b in blocks)
+
+    sp = SplitPointwise(64)
+    v = sp.init(jax.random.key(0), blocks)
+    assert set(v["params"].keys()) == {"kernel", "bias"}
+    assert v["params"]["kernel"].shape == (1, 1, cin, 64)
+
+    got = sp.apply(v, blocks)
+    flat = jnp.concatenate(
+        [b.reshape(*b.shape[:3], -1) for b in blocks], axis=-1)
+    conv = nn.Conv(64, (1, 1), padding="SAME")
+    exp = conv.apply({"params": v["params"]}, flat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               atol=1e-5, rtol=1e-5)
