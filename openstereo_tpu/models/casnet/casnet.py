@@ -32,7 +32,7 @@ from ...ops import resize_bilinear, resize_linear_torch, sample_along_w
 from ...registry import MODELS
 from ...parallel.sharding import shard_disparity
 from ..gwcnet.gwcnet import GwcHourglass
-from ..layers import ConvBlock, head_dtype, siamese
+from ..layers import ConvBlock, head_dtype, pin_impl3d, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -330,6 +330,7 @@ class CasPSMNet(_CascadeBase):
     """Cascade PSMNet: warped concat volumes over SPP-FPN features."""
 
     @nn.compact
+    @pin_impl3d("native", "native")
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         feats = PSMCascadeFeatures(len(self.ndisps), dtype=self.dtype, name="features")
         if train:
@@ -352,6 +353,7 @@ class CasGwcNet(_CascadeBase):
     num_groups: Sequence[int] = (40, 20, 10)
 
     @nn.compact
+    @pin_impl3d("native", "native")
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         feats = GwcCascadeFeatures(len(self.ndisps), dtype=self.dtype, name="features")
         if train:

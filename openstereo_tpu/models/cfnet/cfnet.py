@@ -34,7 +34,7 @@ from ...ops import (
 )
 from ...registry import MODELS
 from ...parallel.sharding import shard_disparity
-from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
+from ..layers import ConvBlock, DeconvBlock, head_dtype, pin_impl3d, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -221,6 +221,7 @@ class CFNet(nn.Module):
     head_weights: Sequence[float] = (0.25, 0.35, 0.5, 0.5, 0.7, 1.0, 1.0, 1.4, 2.0)
 
     @nn.compact
+    @pin_impl3d("native", "native")
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         left = data["left"]
         act = jax.nn.relu if self.replace_mish else mish

@@ -29,7 +29,7 @@ from ...registry import MODELS
 from ...parallel.sharding import shard_disparity
 from ..backbones import MobileNetV2Features
 from ..igev.blocks import BasicConvBN, Conv2x, FeatureAtt
-from ..layers import head_dtype, siamese
+from ..layers import head_dtype, pin_impl3d, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 
 
@@ -66,6 +66,7 @@ class CoExNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
+    @pin_impl3d("native", "native")
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         left, right = data["left"], data["right"]
         b, h, w, _ = left.shape

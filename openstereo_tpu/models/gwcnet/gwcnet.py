@@ -25,7 +25,7 @@ from flax import linen as nn
 from ...ops import build_concat_volume, build_gwc_volume, disparity_regression
 from ...parallel.sharding import shard_disparity
 from ...registry import MODELS
-from ..layers import ConvBlock, DeconvBlock, head_dtype, siamese
+from ..layers import ConvBlock, DeconvBlock, head_dtype, pin_impl3d, siamese
 from ..losses import disp_valid_mask, masked_smooth_l1
 from ..psmnet.psmnet import ResBlock
 
@@ -115,6 +115,7 @@ class GwcNet(nn.Module):
     remat: bool = False
 
     @nn.compact
+    @pin_impl3d("native", "native")
     def __call__(self, data: Dict[str, jnp.ndarray], *, train: bool = False):
         backbone = GwcBackbone(self.use_concat_volume, self.concat_channels,
                                dtype=self.dtype, name="backbone")

@@ -28,19 +28,78 @@ from ..ops.conv3d import Conv3DTapMerged, ConvTranspose3DTapMerged
 
 Dtype = Any
 
-# escape hatches: force XLA's native 3D (de)conv lowerings
-# (OPENSTEREO_CONV3D=native / OPENSTEREO_DECONV3D=native). Read at call
-# time — trace-time only, so the per-call os.environ.get is free and the
-# vars can be set after import (tests, notebooks).
+# 3D (de)conv lowering selection, resolved at TRACE time per ConvBlock:
+#   1. OPENSTEREO_CONV3D / OPENSTEREO_DECONV3D env vars (session-wide
+#      escape hatch, strongest);
+#   2. a model-scoped `impl3d_default(...)` pin (models whose measured
+#      winner differs from the global default wrap their __call__);
+#   3. the global default "tap" (ops/conv3d.py policy).
+# The XLA toolchain behind the remote chip evolves: the round-4 sweep had
+# tap-merged winning GwcNet/CoEx/CasNet by 15-20%, the round-5 end sweep
+# has the native Conv3D walk winning those same models by 15-38% while
+# PSMNet/MSNet2D still prefer tap. Per-model pins record the measured
+# winner (docs/BENCHMARKS.md "lowering re-sweep"); the env vars override
+# everything for re-measurement.
 import os as _os
+from contextlib import contextmanager as _contextmanager
+from contextvars import ContextVar as _ContextVar
+
+_conv3d_pin: "_ContextVar[str | None]" = _ContextVar("conv3d_pin", default=None)
+_deconv3d_pin: "_ContextVar[str | None]" = _ContextVar("deconv3d_pin", default=None)
+
+
+@_contextmanager
+def impl3d_default(conv: str = None, deconv: str = None):
+    """Model-scoped 3D-conv lowering pin (trace-time; env vars still win).
+
+    No-op on the CPU backend: the pins encode measured TPU winners, and
+    XLA-CPU compiles native Conv3D ~60× slower than the folded 2D forms
+    (2 min per small-shape GwcNet init), which would dominate the CPU
+    test suite for zero numerical difference.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        conv = deconv = None
+    tc = _conv3d_pin.set(conv) if conv else None
+    td = _deconv3d_pin.set(deconv) if deconv else None
+    try:
+        yield
+    finally:
+        if tc is not None:
+            _conv3d_pin.reset(tc)
+        if td is not None:
+            _deconv3d_pin.reset(td)
+
+
+def pin_impl3d(conv: str = None, deconv: str = None):
+    """Decorator form of `impl3d_default` for a model's ``__call__``.
+
+    Place UNDER ``@nn.compact`` so flax sees the wrapped method:
+
+        @nn.compact
+        @pin_impl3d("native", "native")
+        def __call__(self, data, *, train=False): ...
+    """
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            with impl3d_default(conv, deconv):
+                return fn(*a, **k)
+        return wrapped
+    return deco
 
 
 def _conv3d_impl() -> str:
-    return _os.environ.get("OPENSTEREO_CONV3D", "tap")
+    return (_os.environ.get("OPENSTEREO_CONV3D")
+            or _conv3d_pin.get() or "tap")
 
 
 def _deconv3d_impl() -> str:
-    return _os.environ.get("OPENSTEREO_DECONV3D", "tap")
+    return (_os.environ.get("OPENSTEREO_DECONV3D")
+            or _deconv3d_pin.get() or "tap")
 
 
 

@@ -48,6 +48,10 @@ def main():
     p.add_argument("--size", type=int, nargs=2, default=[192, 384])
     p.add_argument("--max_disp", type=int, default=64)
     p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--cosine", action="store_true",
+                   help="cosine-decay the lr to 0 over --steps (stabilises "
+                        "the tail for models that oscillate at fixed lr, "
+                        "e.g. MonSter's mix-phase heads)")
     p.add_argument("--kwargs", default="{}",
                    help='extra model kwargs as JSON, e.g. \'{"s_disp_range":16}\'')
     args = p.parse_args()
@@ -85,7 +89,9 @@ def main():
     model = MODELS.get(args.model)(max_disp=args.max_disp, dtype=jnp.bfloat16,
                                    **extra_kwargs)
     variables = jax.jit(lambda b: model.init(jax.random.key(0), b, train=True))(batch)
-    tx = optax.chain(optax.clip(0.1), optax.adamw(args.lr))
+    lr = (optax.cosine_decay_schedule(args.lr, args.steps)
+          if args.cosine else args.lr)
+    tx = optax.chain(optax.clip(0.1), optax.adamw(lr))
     state = TrainState.create(apply_fn=model.apply, params=variables["params"],
                               batch_stats=variables.get("batch_stats", {}), tx=tx)
 
